@@ -1,0 +1,298 @@
+package graft.testqueries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Reference-parity operator catalog instantiated over the driver testdata
+  * (FIXTURES.md §B role mapping: lineitem ≈ observations fact, orders /
+  * customer / part ≈ dimensions). Each query exercises one row of the
+  * SURVEY.md §2 operator inventory and carries an exact DuckDB oracle.
+  *
+  * Determinism rules applied throughout (SURVEY.md §5, §7 "hard parts"):
+  * total-order ORDER BY on non-null keys (Spark defaults NULLS FIRST,
+  * DuckDB NULLS LAST — so sort keys are never nullable), exact decimal
+  * aggregation surfaced as double ([[Fns.sumDec]]), explicit pivot value
+  * lists, no nondeterministic first().
+  */
+object CoreQueries {
+  import Tables._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // S1/P1/P2: projection with aliases, literal and typed-NULL injection
+    // (reference arena.py:102-124).
+    QueryDef("q01_scan_project",
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          lit("tpch").as("data_set_id"),
+          lit(null).cast("string").as("git_commit_hash"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+        'tpch' AS data_set_id, CAST(NULL AS VARCHAR) AS git_commit_hash
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // F1/F2/F3/F5: comparison, inequality, AND/OR, IS NOT NULL
+    // (reference arena.py:96-98,172-174,186-187).
+    QueryDef("q02_filter_predicates",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_quantity") > 30 && col("l_returnflag") =!= "A" &&
+          (col("l_linestatus") === "O" || col("l_discount") < 0.05) &&
+          col("l_shipdate").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_linestatus", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_linestatus", "l_discount"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        l_linestatus, l_discount FROM lineitem
+        WHERE l_quantity > 30 AND l_returnflag <> 'A'
+          AND (l_linestatus = 'O' OR l_discount < 0.05)
+          AND l_shipdate IS NOT NULL
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
+          l_linestatus, l_discount""")),
+
+    // J1: the canonical three-way inner equi-join (fact ⋈ dim ⋈ dim,
+    // reference benchmark_three_way_join.py:53-74). Dimensions are
+    // broadcast — at 100 TB the fact side never shuffles for this join.
+    QueryDef("q03_three_way_join",
+      (s, d) => lineitem(s, d)
+        .join(broadcast(orders(s, d)),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .join(broadcast(customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .filter(col("o_orderstatus") =!= "X" && col("c_acctbal") > 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("o_orderpriority"), col("c_name"), col("c_mktsegment"),
+          col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, o_orderpriority, c_name,
+        c_mktsegment, l_extendedprice
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus <> 'X' AND c_acctbal > 0
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // A1/A4/X8: multi-key hash aggregation with exact decimal arithmetic
+    // (TPC-H Q1 shape; reference grouped-agg ingest arena.py:72-101).
+    QueryDef("q04_pricing_summary",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Fns.sumDec(col("l_quantity")).as("sum_qty"),
+          Fns.sumDec(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(8,2)") -
+              col("l_discount").cast("decimal(8,2)")))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(28,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+          AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+          AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+          AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // A2: ordered, CASE-filtered string_agg (reference arena.py:83-90).
+    // NULLIF('') matches DuckDB's NULL result on an all-filtered group.
+    QueryDef("q05_string_agg_ordered",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(
+          nullif(Fns.orderedStringAgg(col("l_linenumber"),
+            when(col("l_quantity") > 25, col("l_returnflag")), ","),
+            lit("")).as("big_flags"),
+          Fns.orderedStringAgg(col("l_linenumber"),
+            col("l_partkey").cast("string"), ",").as("parts"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+        string_agg(CASE WHEN l_quantity > 25 THEN l_returnflag END,
+          ',' ORDER BY l_linenumber,
+            CASE WHEN l_quantity > 25 THEN l_returnflag END) AS big_flags,
+        string_agg(CAST(l_partkey AS VARCHAR),
+          ',' ORDER BY l_linenumber, CAST(l_partkey AS VARCHAR)) AS parts
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // A3: conditional MAX extraction + conditional-EXISTS as bool_or
+    // (reference arena.py:91-93,168-169).
+    QueryDef("q06_conditional_agg",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(
+          max(when(col("l_returnflag") === "R", col("l_extendedprice")))
+            .as("max_return_price"),
+          max(col("l_returnflag") === "R").as("has_return"),
+          min(col("l_shipdate")).as("first_ship"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+        max(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
+          AS max_return_price,
+        bool_or(l_returnflag = 'R') AS has_return,
+        min(l_shipdate) AS first_ship
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // A5: COUNT(DISTINCT) per group (reference stats.py:18-19) over a
+    // broadcast dim join.
+    QueryDef("q07_count_distinct",
+      (s, d) => orders(s, d)
+        .join(broadcast(customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+        COUNT(DISTINCT c_custkey) AS n_customers,
+        COUNT(DISTINCT o_orderpriority) AS n_priorities,
+        COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // A6/X6: ordered list aggregation serialized to a canonical JSON
+    // signature (reference benchmark_behavioral_clustering.py:57-62).
+    QueryDef("q08_ordered_fingerprint",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(to_json(Fns.orderedCollect(col("l_linenumber"),
+          col("l_returnflag"))).as("sig"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+        to_json(list(l_returnflag ORDER BY l_linenumber, l_returnflag))
+          AS sig
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // A6/A7/A8/O2: the full three-stage behavioral-clustering shape
+    // (reference benchmark_behavioral_clustering.py:49-96): per-(impl,test)
+    // trace signature → per-impl fingerprint → group-by-fingerprint
+    // clusters ranked by size (consensus oracle = head). Fingerprints are
+    // md5-hashed before the final shuffle (SURVEY §7: fixed-width keys).
+    QueryDef("q09_behavioral_clustering",
+      (s, d) => {
+        val s1 = lineitem(s, d)
+          .groupBy("l_suppkey", "l_orderkey")
+          .agg(to_json(Fns.orderedCollect(col("l_linenumber"),
+            col("l_returnflag"))).as("sig"))
+        val s2 = s1.groupBy("l_suppkey")
+          .agg(to_json(Fns.orderedCollect(col("l_orderkey"),
+            col("sig"))).as("fp"))
+        s2.groupBy(md5(col("fp")).as("fp_hash"))
+          .agg(count(lit(1)).as("cluster_size"),
+            to_json(Fns.orderedCollect(col("l_suppkey"),
+              col("l_suppkey"))).as("impls"))
+          .orderBy(desc("cluster_size"), col("fp_hash"))
+      },
+      Some("""WITH s1 AS (
+        SELECT l_suppkey, l_orderkey,
+          CAST(to_json(list(l_returnflag
+            ORDER BY l_linenumber, l_returnflag)) AS VARCHAR) AS sig
+        FROM lineitem GROUP BY l_suppkey, l_orderkey),
+      s2 AS (
+        SELECT l_suppkey, to_json(list(sig ORDER BY l_orderkey)) AS fp
+        FROM s1 GROUP BY l_suppkey)
+      SELECT md5(fp) AS fp_hash, COUNT(*) AS cluster_size,
+        to_json(list(l_suppkey ORDER BY l_suppkey)) AS impls
+      FROM s2 GROUP BY fp ORDER BY cluster_size DESC, fp_hash""")),
+
+    // W1: pivot with an explicit value list (reference
+    // benchmark_srm_output_view.py:50-77; explicit list = deterministic
+    // column order and no extra distinct job).
+    QueryDef("q10_pivot",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(28,2)")).cast("double"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        CAST(SUM(CASE WHEN l_linestatus = 'F'
+          THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS "F",
+        CAST(SUM(CASE WHEN l_linestatus = 'O'
+          THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS "O"
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // A9: two-level aggregation (reference stats.py:14-35). SUM(cnt) is
+    // cast to BIGINT on the oracle side because DuckDB widens to HUGEINT.
+    QueryDef("q11_two_level_agg",
+      (s, d) => {
+        val pc = orders(s, d).groupBy("o_custkey")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast("decimal(28,2)")).as("spend"))
+        pc.agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("cnt")).as("total_orders"),
+          (sum(col("cnt")).cast("double") / count(lit(1)))
+            .as("avg_orders"),
+          sum(col("spend")).cast("double").as("total_spend"),
+          max(col("spend")).cast("double").as("max_spend"))
+      },
+      Some("""WITH pc AS (
+        SELECT o_custkey, COUNT(*) AS cnt,
+          SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS spend
+        FROM orders GROUP BY o_custkey)
+      SELECT COUNT(*) AS n_customers,
+        CAST(SUM(cnt) AS BIGINT) AS total_orders,
+        CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_orders,
+        CAST(SUM(spend) AS DOUBLE) AS total_spend,
+        CAST(MAX(spend) AS DOUBLE) AS max_spend
+      FROM pc""")),
+
+    // O2/O3: ORDER BY DESC + LIMIT top-k → TakeOrderedAndProject, no full
+    // sort at scale (reference lasso_arena_ingest.py:92-93).
+    QueryDef("q12_topk",
+      (s, d) => orders(s, d)
+        .groupBy("o_custkey")
+        .agg(Fns.sumDec(col("o_totalprice")).as("spend"))
+        .orderBy(desc("spend"), col("o_custkey"))
+        .limit(10),
+      Some("""SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey
+        ORDER BY spend DESC, o_custkey LIMIT 10""")),
+
+    // X1-X4: scalar function chain — concat, coalesce(nullif), CASE, cast
+    // (reference arena.py:105-122). FLOOR before the int cast: DuckDB
+    // rounds double→int, Spark truncates.
+    QueryDef("q13_scalar_funcs",
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_"),
+            col("c_nationkey").cast("string")).as("seg_nation"),
+          coalesce(nullif(col("c_mktsegment"), lit("")), lit("default"))
+            .as("seg"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("band"),
+          floor(col("c_acctbal")).cast("int").as("bal_floor"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+        c_mktsegment || '_' || CAST(c_nationkey AS VARCHAR) AS seg_nation,
+        COALESCE(NULLIF(c_mktsegment, ''), 'default') AS seg,
+        CASE WHEN c_acctbal < 0 THEN 'neg'
+             WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+        CAST(FLOOR(c_acctbal) AS INTEGER) AS bal_floor
+        FROM customer ORDER BY c_custkey""")),
+
+    // S4-analog: JSON field extraction from a string column + aggregation
+    // (reference arena.py:245-269 parses JSON documents at ingest).
+    QueryDef("q14_json_extract",
+      (s, d) => events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), Fns.sumDec(col("value")).as("total"))
+        .orderBy("k"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER)
+          AS k, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1 ORDER BY k"""))
+  )
+}

@@ -1,0 +1,6 @@
+package graft.testqueries
+
+/** All driver-checkable queries, in catalog order. */
+object Registry {
+  def all: Seq[QueryDef] = CoreQueries.all
+}
