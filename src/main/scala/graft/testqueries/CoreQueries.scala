@@ -182,9 +182,12 @@ object CoreQueries {
           .groupBy("l_suppkey", "l_orderkey")
           .agg(to_json(Fns.orderedCollect(col("l_linenumber"),
             col("l_returnflag"))).as("sig"))
+        // Collect md5(sig), not the raw trace strings: fixed-width values
+        // keep the per-impl fingerprint rows small through the shuffle
+        // (SURVEY §7 — at 100 TB raw traces would blow the agg buffers).
         val s2 = s1.groupBy("l_suppkey")
           .agg(to_json(Fns.orderedCollect(col("l_orderkey"),
-            col("sig"))).as("fp"))
+            md5(col("sig")))).as("fp"))
         s2.groupBy(md5(col("fp")).as("fp_hash"))
           .agg(count(lit(1)).as("cluster_size"),
             to_json(Fns.orderedCollect(col("l_suppkey"),
@@ -197,7 +200,7 @@ object CoreQueries {
             ORDER BY l_linenumber, l_returnflag)) AS VARCHAR) AS sig
         FROM lineitem GROUP BY l_suppkey, l_orderkey),
       s2 AS (
-        SELECT l_suppkey, to_json(list(sig ORDER BY l_orderkey)) AS fp
+        SELECT l_suppkey, to_json(list(md5(sig) ORDER BY l_orderkey)) AS fp
         FROM s1 GROUP BY l_suppkey)
       SELECT md5(fp) AS fp_hash, COUNT(*) AS cluster_size,
         to_json(list(l_suppkey ORDER BY l_suppkey)) AS impls

@@ -2,5 +2,6 @@ package graft.testqueries
 
 /** All driver-checkable queries, in catalog order. */
 object Registry {
-  def all: Seq[QueryDef] = CoreQueries.all
+  def all: Seq[QueryDef] =
+    CoreQueries.all ++ TextDedupQueries.all ++ VectorEventQueries.all
 }

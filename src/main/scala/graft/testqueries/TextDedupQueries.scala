@@ -1,0 +1,339 @@
+package graft.testqueries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.functions.Fns
+
+/** Training-data-pipeline operators over the `documents` table: content
+  * hashing, exact dedup, quality scoring, language ID, tokenization,
+  * fingerprinting, MinHash/LSH and n-gram Jaccard near-dup. Every stage is
+  * built from codegen'd built-ins and carries an exact DuckDB oracle.
+  *
+  * Scale notes (100 TB): all shapes are shuffle-by-key — shingle explode →
+  * (doc, shingle) distinct → band-bucket join. No driver-side loops, no
+  * pairwise n² except inside LSH/blocking buckets.
+  */
+object TextDedupQueries {
+  import Tables._
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopSqlList = stop.map(s => s"'$s'").mkString(", ")
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  private def shingleSet(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(Fns.shingles(Fns.words(col("text")), 3)).as("s"))
+      .distinct()
+
+  private val shingleSql =
+    """sh AS (
+      SELECT DISTINCT doc_id,
+        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+            FROM documents),
+        UNNEST(range(1, len(ws) - 1)) t(i))"""
+
+  /** 16-member MinHash signature rows: (doc_id, j, mh). */
+  private def minhash(s: org.apache.spark.sql.SparkSession, d: String) =
+    shingleSet(s, d)
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .groupBy("doc_id", "j")
+      .agg(min(Fns.portableHash60(
+        concat(col("j").cast("string"), lit(":"), col("s")))).as("mh"))
+
+  private val minhashSql =
+    s"""$shingleSql,
+      mh AS (
+        SELECT doc_id, j,
+          min(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15))
+            ::BIGINT) AS mh
+        FROM sh, UNNEST(range(0, 16)) t(j)
+        GROUP BY doc_id, j)"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // X7: git-blob-style content hash — normalize (CRLF→LF, strip
+    // trailing ws / blank lines) then hash "blob <bytelen> <body>"
+    // (reference arena.py:11-45; sha256 for DuckDB parity, see Fns).
+    QueryDef("q15_git_blob_hash",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), Fns.gitBlobHash(col("text")).as("code_hash"))
+        .orderBy("doc_id"),
+      Some("""WITH n AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(
+            replace(text, chr(13) || chr(10), chr(10)),
+            '(?m)[ \t]+$', '', 'g'), '\n+$', '') AS t
+        FROM documents)
+      SELECT doc_id,
+        sha256('blob ' || CAST(strlen(t) AS VARCHAR) || chr(0) || t)
+          AS code_hash
+      FROM n ORDER BY doc_id""")),
+
+    // Exact dedup: hash-groupBy on content digest, keep-first policy
+    // (min doc_id). One shuffle on a fixed-width key.
+    QueryDef("q16_dedup_exact",
+      (s, d) => documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("copies"))
+        .orderBy("keep_id"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        COUNT(*) AS copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
+
+    // Quality scoring: word/char/punct/stopword stats + a deterministic
+    // composite score. Pure per-row expressions — fully codegen'd scan.
+    QueryDef("q17_text_quality",
+      (s, d) => {
+        val ws = Fns.words(col("text"))
+        val nWords = size(ws)
+        val nStop = size(filter(ws, w => w.isin(stop: _*)))
+        val nPunct = size(regexp_extract_all(col("text"),
+          lit("[^A-Za-z0-9\\s]"), lit(0)))
+        val nonSpace = length(regexp_replace(col("text"), "\\s+", ""))
+        documents(s, d).select(
+          col("doc_id"),
+          nWords.as("n_words"),
+          nStop.as("n_stop"),
+          nPunct.as("n_punct"),
+          (nonSpace / nWords).as("avg_word_len"),
+          (nStop / nWords).as("stop_ratio"),
+          ((nStop / nWords) * 0.5 +
+            when(nWords >= 20, 0.5).otherwise(nWords * 0.025))
+            .as("quality_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+          w -> w IN ($stopSqlList))) AS n_stop,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+        length(regexp_replace(text, '\\s+', '', 'g')) /
+          len(string_split_regex(trim(text), '\\s+')) AS avg_word_len,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+          w -> w IN ($stopSqlList))) /
+          len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
+        (len(list_filter(string_split_regex(trim(text), '\\s+'),
+          w -> w IN ($stopSqlList))) /
+          len(string_split_regex(trim(text), '\\s+')))
+            * CAST(0.5 AS DOUBLE) +
+          (CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20
+            THEN CAST(0.5 AS DOUBLE)
+            ELSE len(string_split_regex(trim(text), '\\s+'))
+              * CAST(0.025 AS DOUBLE) END)
+          AS quality_score
+      FROM documents ORDER BY doc_id""")),
+
+    // Language ID: stopword-hit scores per language + CJK char count,
+    // argmax with a fixed tie order (n-gram-heuristic family).
+    QueryDef("q18_lang_id",
+      (s, d) => {
+        val ws = Fns.words(lower(col("text")))
+        def hits(l: Seq[String]): Column = size(filter(ws, w => w.isin(l: _*)))
+        val sEn = hits(Seq("the", "a", "of", "and", "is"))
+        val sDe = hits(Seq("der", "die", "das", "und", "ist"))
+        val sEs = hits(Seq("el", "la", "de", "y", "es"))
+        val sFr = hits(Seq("le", "la", "les", "et", "est"))
+        val sZh = size(regexp_extract_all(col("text"),
+          lit("[一-鿿]"), lit(0)))
+        documents(s, d).select(col("doc_id"), col("lang").as("actual_lang"),
+          sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
+          sZh.as("s_zh"),
+          when(sZh > 0, "zh")
+            .when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+            .when(sDe >= sEs && sDe >= sFr, "de")
+            .when(sEs >= sFr, "es")
+            .otherwise("fr").as("predicted_lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def hitsSql(l: Seq[String]) =
+          "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+            s"w -> w IN (${l.map(x => s"'$x'").mkString(", ")})))"
+        val en = hitsSql(Seq("the", "a", "of", "and", "is"))
+        val de = hitsSql(Seq("der", "die", "das", "und", "ist"))
+        val es = hitsSql(Seq("el", "la", "de", "y", "es"))
+        val fr = hitsSql(Seq("le", "la", "les", "et", "est"))
+        val zh = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+        s"""SELECT doc_id, lang AS actual_lang,
+          $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr, $zh AS s_zh,
+          CASE WHEN $zh > 0 THEN 'zh'
+               WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+               WHEN $de >= $es AND $de >= $fr THEN 'de'
+               WHEN $es >= $fr THEN 'es'
+               ELSE 'fr' END AS predicted_lang
+        FROM documents ORDER BY doc_id"""
+      }),
+
+    // Token counting: whitespace words + BPE-ish regex tokens
+    // (letter-runs | digit-runs | single symbol).
+    QueryDef("q19_token_count",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        size(Fns.words(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"),
+        length(col("text")).as("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+          AS bpe_tokens,
+        length(text) AS n_chars
+      FROM documents ORDER BY doc_id""")),
+
+    // Document fingerprinting: polynomial rolling hash (base 31, mod
+    // 1e9+7) over the first 64 chars — an ordered left fold in both
+    // engines, exact int64 arithmetic.
+    QueryDef("q20_rolling_hash",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        aggregate(
+          transform(split(substring(col("text"), 1, 64), ""), c => ascii(c)),
+          lit(0L),
+          (acc, c) => (acc * 31 + c) % 1000000007L).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(substr(text, 1, 64), ''),
+              c -> CAST(ord(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      FROM documents ORDER BY doc_id""")),
+
+    // MinHash signatures (16 hash-family members over word-3-gram
+    // shingles) — the portable 60-bit hash makes the signature itself
+    // engine-checkable.
+    QueryDef("q21_minhash_signatures",
+      (s, d) => minhash(s, d)
+        .groupBy("doc_id")
+        .agg(array_join(Fns.orderedCollect(col("j"),
+          col("mh").cast("string")), ",").as("sig"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $minhashSql
+      SELECT doc_id,
+        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM mh GROUP BY doc_id ORDER BY doc_id""")),
+
+    // MinHash-LSH candidate pairs: 4 bands × 4 rows, band-hash bucket
+    // join, estimated similarity = matching-minhash fraction. The join
+    // is on (band index, band hash) — at 100 TB this is the standard
+    // near-dup shuffle; no global n².
+    QueryDef("q22_minhash_lsh_candidates",
+      (s, d) => {
+        val mh = minhash(s, d)
+        val sig = mh.groupBy("doc_id")
+          .agg(Fns.orderedCollect(col("j"), col("mh").cast("string"))
+            .as("sig"))
+        val bands = sig
+          .withColumn("b", explode(sequence(lit(0), lit(3))))
+          .select(col("doc_id"), col("b"),
+            md5(array_join(slice(col("sig"), col("b") * 4 + 1, lit(4)), ","))
+              .as("bh"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        cand.join(mh.as("ma"), col("a_id") === col("ma.doc_id"))
+          .join(mh.as("mb"),
+            col("b_id") === col("mb.doc_id") && col("ma.j") === col("mb.j"))
+          .groupBy("a_id", "b_id")
+          .agg((sum(when(col("ma.mh") === col("mb.mh"), 1).otherwise(0))
+            .cast("double") / 16.0).as("est_sim"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $minhashSql,
+      sig AS (
+        SELECT doc_id, list(CAST(mh AS VARCHAR) ORDER BY j) AS sig
+        FROM mh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b,
+          md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ','
+            || sig[b*4+4]) AS bh
+        FROM sig, UNNEST(range(0, 4)) t(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      SELECT c.a_id, c.b_id,
+        CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+          / 16.0 AS est_sim
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.a_id
+      JOIN mh mb ON mb.doc_id = c.b_id AND ma.j = mb.j
+      GROUP BY c.a_id, c.b_id ORDER BY a_id, b_id""")),
+
+    // Exact n-gram Jaccard near-dup: shared-shingle candidate join,
+    // |A∩B| / (|A|+|B|−|A∩B|), threshold 0.3.
+    QueryDef("q23_ngram_jaccard",
+      (s, d) => {
+        val sh = shingleSet(s, d)
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = sh.as("x").join(sh.as("y"),
+            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sz.as("sa"), col("a_id") === col("sa.doc_id"))
+          .join(sz.as("sb"), col("b_id") === col("sb.doc_id"))
+          .select(col("a_id"), col("b_id"), col("inter"),
+            (col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $shingleSql,
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT a_id, b_id, inter,
+        inter / (sa.sz + sb.sz - inter) AS jaccard
+      FROM inter
+      JOIN sz sa ON a_id = sa.doc_id
+      JOIN sz sb ON b_id = sb.doc_id
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.3
+      ORDER BY a_id, b_id""")),
+
+    // SimHash: 32-bit signature — per-word 60-bit hash, per-bit ±1 vote,
+    // sign-of-sum sets the bit. 32 conditional sums in one aggregation
+    // pass (no per-bit explode).
+    QueryDef("q24_simhash",
+      (s, d) => {
+        val bits = 0 until 32
+        val votes = bits.map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)).as(s"v$b"))
+        val voted = documents(s, d)
+          .select(col("doc_id"),
+            explode(Fns.words(col("text"))).as("w"))
+          .withColumn("h", Fns.portableHash60(col("w")))
+          .groupBy("doc_id")
+          .agg(votes.head, votes.tail: _*)
+        voted.select(col("doc_id"),
+          bits.map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b))
+            .otherwise(0L)).reduce(_ + _).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val votes = (0 until 32).map(b =>
+          s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(", ")
+        val combine = (0 until 32).map(b =>
+          s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) " +
+            "ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+        s"""WITH w AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents),
+        h AS (SELECT doc_id,
+          ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+        v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+        SELECT doc_id, $combine AS simhash FROM v ORDER BY doc_id"""
+      })
+  )
+}

@@ -1,0 +1,202 @@
+package graft.testqueries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Similarity search over embeddings, event-time windowing,
+  * sessionization, set operations, and multimodal binary-column
+  * plumbing — the remaining SURVEY §7 extension families, each with a
+  * DuckDB oracle.
+  */
+object VectorEventQueries {
+  import Tables._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-k: 8 query vectors (broadcast) against the
+    // full corpus; ranked per query by similarity. Similarity is rounded
+    // to 6 dp on BOTH sides before ranking so FP summation-order noise
+    // between engines cannot flip ranks. Covers window functions
+    // (row_number) as well.
+    QueryDef("q25_cosine_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val sim = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("c_id"),
+            round(Fns.cosine(col("qv"), col("embedding")), 6).as("sim"))
+        sim.withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
+          .filter(col("rank") <= 5)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 8),
+      sim AS (
+        SELECT q_id, e.vec_id AS c_id,
+          round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6)
+            AS sim
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+      SELECT q_id, c_id, sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+          AS rank
+      FROM sim
+      QUALIFY rank <= 5
+      ORDER BY q_id, rank""")),
+
+    // Embedding near-dup: pairwise cosine within `label` blocks (the
+    // blocking key bounds the n² — the same role an IVF/LSH bucket plays
+    // at 100 TB), threshold 0.35.
+    QueryDef("q26_embedding_neardup",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("label"), col("vec_id"), col("embedding"))
+        e.as("x").join(e.as("y"),
+            col("x.label") === col("y.label") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+            round(Fns.cosine(col("x.embedding"), col("y.embedding")), 6)
+              .as("sim"))
+          .filter(col("sim") >= 0.35)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+        round(list_cosine_similarity(x.embedding::DOUBLE[],
+          y.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings x JOIN embeddings y
+        ON x.label = y.label AND x.vec_id < y.vec_id
+      WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+        y.embedding::DOUBLE[]), 6) >= 0.35
+      ORDER BY a_id, b_id""")),
+
+    // Tumbling event-time window aggregation (batch analog of the
+    // Structured Streaming path in graft.streaming).
+    QueryDef("q27_window_tumbling",
+      (s, d) => events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Fns.sumDec(col("value")).as("total"))
+        .orderBy("win_start", "event_type"),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+          AS win_start, event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // Sliding window (1 h window, 30 min slide) via Spark's native
+    // window(); the oracle expands each event into its two windows with
+    // exact integer microsecond arithmetic.
+    QueryDef("q28_window_sliding",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Fns.sumDec(col("value")).as("total"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("win_start", "event_type"),
+      Some("""WITH x AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+        FROM events),
+      w AS (
+        SELECT make_timestamp((us // 1800000000) * 1800000000)
+          AS win_start, event_type, value FROM x
+        UNION ALL
+        SELECT make_timestamp(((us // 1800000000) - 1) * 1800000000),
+          event_type, value FROM x)
+      SELECT win_start, event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // Sessionization: 30-min-gap sessions per user via lag + running sum
+    // (gaps-and-islands). Batch mirror of
+    // graft.streaming sessionization; also covers lag/over.
+    QueryDef("q29_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val withGap = events(s, d)
+          .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+          .withColumn("new_sess",
+            when(col("us") - lag("us", 1).over(w) > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("sess_id", sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        withGap.groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("sess_start"), max("ts").as("sess_end"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""WITH x AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+      g AS (
+        SELECT user_id, event_id, t,
+          CASE WHEN epoch_us(t) -
+            lag(epoch_us(t)) OVER (PARTITION BY user_id
+              ORDER BY t, event_id) > 1800000000 THEN 1 ELSE 0 END
+            AS new_sess
+        FROM x),
+      sid AS (
+        SELECT user_id, t,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS sess_id
+        FROM g)
+      SELECT user_id, sess_id, COUNT(*) AS n_events,
+        min(t) AS sess_start, max(t) AS sess_end
+      FROM sid GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
+
+    // Set operations (UNION / INTERSECT / EXCEPT with distinct
+    // semantics) — not in the reference surface (SURVEY §2.7) but part
+    // of a complete engine.
+    QueryDef("q30_set_ops",
+      (s, d) => {
+        val cn = customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+        val sn = supplier(s, d).select(col("s_nationkey").as("nk")).distinct()
+        cn.except(sn).withColumn("src", lit("customer_only"))
+          .unionByName(sn.except(cn).withColumn("src", lit("supplier_only")))
+          .unionByName(cn.intersect(sn).withColumn("src", lit("both")))
+          .orderBy("nk", "src")
+      },
+      Some("""SELECT nk, 'customer_only' AS src FROM
+        (SELECT c_nationkey AS nk FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT nk, 'supplier_only' AS src FROM
+        (SELECT s_nationkey AS nk FROM supplier
+         EXCEPT SELECT c_nationkey FROM customer)
+      UNION ALL
+      SELECT nk, 'both' AS src FROM
+        (SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier)
+      ORDER BY nk, src""")),
+
+    // Multimodal plumbing: treat content as an opaque binary column with
+    // typed metadata. The "decode" is a deterministic fake (see
+    // graft.ops.Multimodal for the stubbed real path) — the Spark-side
+    // schema/partitioning/batch shape is what's real and tested here.
+    QueryDef("q31_multimodal_meta",
+      (s, d) => {
+        val bin = encode(col("text"), "UTF-8")
+        val h = Fns.portableHash60(col("text"))
+        documents(s, d).select(
+          col("doc_id"),
+          octet_length(bin).as("n_bytes"),
+          substring(hex(bin), 1, 16).as("header_hex"),
+          (h % 640 + 1).cast("int").as("fake_width"),
+          (h % 480 + 1).cast("int").as("fake_height"),
+          (h % 10 + 1).cast("int").as("fake_frames"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        octet_length(encode(text)) AS n_bytes,
+        substr(hex(encode(text)), 1, 16) AS header_hex,
+        CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 640 + 1
+          AS INTEGER) AS fake_width,
+        CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 480 + 1
+          AS INTEGER) AS fake_height,
+        CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 10 + 1
+          AS INTEGER) AS fake_frames
+      FROM documents ORDER BY doc_id"""))
+  )
+}

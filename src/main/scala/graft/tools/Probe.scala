@@ -13,16 +13,15 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
-    val li = spark.read.parquet(s"$d/lineitem.parquet")
-    val s1 = li.filter(col("l_suppkey") === 63)
-      .groupBy("l_suppkey", "l_orderkey")
-      .agg(to_json(Fns.orderedCollect(col("l_linenumber"),
-        col("l_returnflag"))).as("sig"))
-    val s2 = s1.groupBy("l_suppkey")
-      .agg(to_json(Fns.orderedCollect(col("l_orderkey"),
-        col("sig"))).as("fp"))
-    s2.coalesce(1).write.mode("overwrite").parquet("/tmp/probe_s2")
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("doc_id") === 0)
+    val n = Fns.normalizeSource(col("text"))
+    d.select(
+      substring(concat(lit("blob "), octet_length(n).cast("string"),
+        lit(" "), n), 1, 20).as("prefix"),
+      sha2(concat(lit("blob "), octet_length(n).cast("string"),
+        lit(" "), n), 256).as("h2"))
+      .show(false)
     spark.stop()
   }
 }
