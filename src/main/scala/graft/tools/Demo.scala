@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ingest.ArenaIngest
+import graft.lake.Lakehouse
+import graft.queries.CanonicalQueries
+import graft.schema.Schemas
+
+/** End-to-end usage example: raw arena export → ingest → partitioned
+  * lakehouse → the four canonical queries. Mirrors the reference's
+  * `lasso_arena_ingest.py` + `benchmark_*.py` flow on a tiny inline
+  * dataset.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val wh = java.nio.file.Files.createTempDirectory("olake-demo").toString
+    val lake = new Lakehouse(spark, wh)
+
+    // raw wide arena export: 2 impls × 1 test × 2 steps (+ metadata rows)
+    val raw = Seq(
+      ("e1", "p1", "sysA", "", "0", "t1", "a1", 0, -1, "interface",
+        "class A { int f() { return 1; } }", 0.0),
+      ("e1", "p1", "sysB", "", "0", "t1", "a1", 0, -1, "interface",
+        "class B { int f() { return 1; } }", 0.0),
+      ("e1", "p1", "sysA", "", "0", "t1", "a1", 0, 0, "op", "f", 1.0),
+      ("e1", "p1", "sysA", "", "0", "t1", "a1", 1, 0, "input_value", "3", 1.0),
+      ("e1", "p1", "sysA", "", "0", "t1", "a1", 2, 0, "value", "1", 1.0),
+      ("e1", "p1", "sysA", "", "0", "t1", "a1", 0, 1, "value", "done", 1.0),
+      ("e1", "p1", "sysB", "", "0", "t1", "a1", 0, 0, "op", "f", 1.0),
+      ("e1", "p1", "sysB", "", "0", "t1", "a1", 1, 0, "input_value", "3", 1.0),
+      ("e1", "p1", "sysB", "", "0", "t1", "a1", 2, 0, "value", "1", 1.0),
+      ("e1", "p1", "sysB", "", "0", "t1", "a1", 0, 1, "value", "done", 1.0))
+      .toDF("EXECUTIONID", "ABSTRACTIONID", "SYSTEMID", "VARIANTID",
+        "ADAPTERID", "SHEETID", "ARENAID", "X", "Y", "TYPE", "VALUE",
+        "EXECUTIONTIME")
+
+    // EP2 ingest → lakehouse append
+    lake.append("observations",
+      ArenaIngest.observationsFromArena(raw, "Demo"), Schemas.observations,
+      sortCols = Seq("implementation_id", "test_id", "step_id"))
+    lake.append("code_implementations",
+      ArenaIngest.codeFromArena(raw, "Demo"), Schemas.codeImplementations)
+    println(s"ingested observations=${lake.observations.count()} " +
+      s"code=${lake.codeImplementations.count()}")
+
+    // canonical queries on the pruned partition
+    val obs = lake.observations.filter(col("problem_id") === "p1")
+    println("-- SRM output view --")
+    CanonicalQueries.srmOutputViewDynamic(obs).show(false)
+    println("-- behavioral clustering --")
+    CanonicalQueries.behavioralClustering(obs).show(false)
+    println("-- consensus oracle --")
+    CanonicalQueries.consensusOracle(obs).show(false)
+    println("-- per-problem stats --")
+    CanonicalQueries.perProblemStats(obs).show(false)
+    println("-- lazy SQL API --")
+    lake.query("SELECT implementation_id, count(*) AS n FROM observations " +
+      "WHERE problem_id = 'p1' GROUP BY 1 ORDER BY 1").show(false)
+    println("DEMO_OK")
+    spark.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.queries.CanonicalQueries
+
+/** FIXTURES.md §A4 expectations: clusters [{i1,i2},{i3}], consensus =
+  * the {i1,i2} cluster, SRM pivot 4 rows × (2+3) cols, three-way join
+  * 12 rows. */
+class CanonicalQueriesSpec extends SparkSpec {
+
+  test("behavioral clustering groups identical traces") {
+    val out = CanonicalQueries.behavioralClustering(Fixtures.observations)
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("cluster_size") == 2)
+    assert(out(0).getAs[scala.collection.Seq[String]]("implementations").toSeq == Seq("i1", "i2"))
+    assert(out(1).getAs[scala.collection.Seq[String]]("implementations").toSeq == Seq("i3"))
+  }
+
+  test("consensus oracle is the largest cluster") {
+    val row = CanonicalQueries.consensusOracle(Fixtures.observations)
+      .collect().head
+    assert(row.getAs[scala.collection.Seq[String]]("implementations").toSeq == Seq("i1", "i2"))
+  }
+
+  test("SRM output view pivots implementations to columns") {
+    val m = CanonicalQueries.srmOutputView(Fixtures.observations,
+      Seq("i1", "i2", "i3"))
+    assert(m.columns.toSeq == Seq("test_id", "step_id", "i1", "i2", "i3"))
+    val rows = m.collect()
+    assert(rows.length == 4)
+    // (t2, step 1): i1=i2=d, i3=X
+    val r = rows.find(r => r.getString(0) == "t2" && r.getInt(1) == 1).get
+    assert(r.getString(2) == "d" && r.getString(3) == "d" &&
+      r.getString(4) == "X")
+  }
+
+  test("dynamic SRM view discovers the implementation columns") {
+    val m = CanonicalQueries.srmOutputViewDynamic(Fixtures.observations)
+    assert(m.columns.toSeq == Seq("test_id", "step_id", "i1", "i2", "i3"))
+  }
+
+  test("three-way join reattaches code and test source to each row") {
+    val j = CanonicalQueries.threeWayJoin(Fixtures.observations,
+      Fixtures.code, Fixtures.tests)
+    assert(j.count() == 12)
+    assert(j.columns.contains("program_code") &&
+      j.columns.contains("test_sheet"))
+    val r = j.filter(j("implementation_id") === "i1").collect()
+    assert(r.forall(_.getAs[String]("program_code") == "class A {}"))
+  }
+
+  test("dataset stats aggregate per-problem counts") {
+    val s = CanonicalQueries.datasetStats(Fixtures.observations)
+      .collect().head
+    assert(s.getAs[Long]("n_problems") == 1)
+    assert(s.getAs[Long]("total_implementations") == 3)
+    assert(s.getAs[Double]("avg_tests_per_problem") == 2.0)
+  }
+
+  test("per-problem stats") {
+    val s = CanonicalQueries.perProblemStats(Fixtures.observations)
+      .collect().head
+    assert(s.getAs[Long]("n_implementations") == 3)
+    assert(s.getAs[Long]("n_observations") == 12)
+    assert(s.getAs[Double]("max_execution_time_ms") == 1.5)
+  }
+}

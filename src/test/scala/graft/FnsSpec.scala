@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+class FnsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("portableHash60 matches the DuckDB-computable value") {
+    // DuckDB: SELECT ('0x' || substr(md5('abc'),1,15))::BIGINT
+    val h = Seq("abc").toDF("s").select(Fns.portableHash60(col("s")))
+      .collect().head.getLong(0)
+    assert(h == 648541476951500027L)
+  }
+
+  test("gitBlobHash matches a reference sha256 of 'blob <len>\\0<body>'") {
+    val text = "hello \r\nworld  \n\n"
+    // normalized: "hello\nworld" (CRLF->LF, trailing ws + blank lines cut)
+    val expectBody = "blob 11\u0000hello\nworld"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest(expectBody.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = Seq(text).toDF("s").select(Fns.gitBlobHash(col("s")))
+      .collect().head.getString(0)
+    assert(got == expect)
+  }
+
+  test("gitBlobHash uses byte length for multibyte text") {
+    val text = "中文"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest(s"blob 6\u0000中文".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = Seq(text).toDF("s").select(Fns.gitBlobHash(col("s")))
+      .collect().head.getString(0)
+    assert(got == expect)
+  }
+
+  test("orderedCollect is invariant to input row order (property)") {
+    (1 to 10).foreach { _ =>
+      val rows = List.fill(8)((rnd.nextInt(6),
+        rnd.alphanumeric.take(3).mkString))
+      val a = rows.toDF("o", "v").groupBy(lit(1))
+        .agg(Fns.orderedCollect(col("o"), col("v")).as("xs"))
+        .collect().head.getAs[scala.collection.Seq[String]]("xs")
+      val b = rnd.shuffle(rows).toDF("o", "v")
+        .groupBy(lit(1))
+        .agg(Fns.orderedCollect(col("o"), col("v")).as("xs"))
+        .collect().head.getAs[scala.collection.Seq[String]]("xs")
+      assert(a == b)
+      assert(a == rows.sorted.map(_._2))
+    }
+  }
+
+  test("orderedStringAgg skips nulls like DuckDB string_agg") {
+    val out = Seq((1, Some("a")), (2, None: Option[String]),
+        (3, Some("c"))).toDF("o", "v")
+      .groupBy(lit(1))
+      .agg(Fns.orderedStringAgg(col("o"), col("v"), ",").as("s"))
+      .collect().head.getString(1)
+    assert(out == "a,c")
+  }
+
+  test("cosine of identical vectors is 1") {
+    val v = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val c = v.select(Fns.cosine(col("a"), col("b"))).collect().head
+      .getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("shingles produce overlapping n-grams") {
+    val out = Seq("a b c d").toDF("t")
+      .select(Fns.shingles(Fns.words(col("t")), 3).as("sh"))
+      .collect().head.getAs[scala.collection.Seq[String]]("sh")
+    assert(out == Seq("a b c", "b c d"))
+  }
+
+  test("shingles of short text are empty, words of blank are empty") {
+    val sh = Seq("a b").toDF("t")
+      .select(Fns.shingles(Fns.words(col("t")), 3).as("sh"))
+      .collect().head.getAs[scala.collection.Seq[String]]("sh")
+    assert(sh.isEmpty)
+    val w = Seq("   ").toDF("t").select(Fns.words(col("t")).as("w"))
+      .collect().head.getAs[scala.collection.Seq[String]]("w")
+    assert(w.isEmpty)
+  }
+
+  test("sumDec is exact under permutation (property)") {
+    (1 to 5).foreach { _ =>
+      val xs = List.fill(12)(rnd.nextInt(100000) / 100.0)
+      val a = xs.toDF("x").agg(Fns.sumDec(col("x"))).collect()
+        .head.getDouble(0)
+      val b = rnd.shuffle(xs).toDF("x").agg(Fns.sumDec(col("x")))
+        .collect().head.getDouble(0)
+      assert(a == b)
+    }
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OpsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again today"),
+    (3L, "the quick brown fox jumps over the lazy cat again today"),
+    (4L, "completely different words form unrelated content here now"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id")
+      .collect()
+    assert(out.length == 3)
+    assert(out.head.getAs[Long]("keep_id") == 1L)
+    assert(out.head.getAs[Long]("copies") == 2L)
+  }
+
+  test("minhash LSH finds identical docs with est_sim 1.0") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text").collect()
+    val p12 = pairs.find(r => r.getAs[Long]("a_id") == 1L &&
+      r.getAs[Long]("b_id") == 2L)
+    assert(p12.isDefined)
+    assert(p12.get.getAs[Double]("est_sim") == 1.0)
+    // near-dup 1~3 should estimate high-but-below-1 if found
+    pairs.filter(r => r.getAs[Long]("b_id") == 3L)
+      .foreach(r => assert(r.getAs[Double]("est_sim") < 1.0))
+  }
+
+  test("simhash: identical docs equal, near docs close, far docs far") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("ngram jaccard: identical = 1.0, near-dup above threshold") {
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", 0.3)
+      .orderBy("a_id", "b_id").collect()
+    val p12 = out.find(r => r.getAs[Long]("a_id") == 1L &&
+      r.getAs[Long]("b_id") == 2L).get
+    assert(p12.getAs[Double]("jaccard") == 1.0)
+    val p13 = out.find(r => r.getAs[Long]("a_id") == 1L &&
+      r.getAs[Long]("b_id") == 3L).get
+    assert(p13.getAs[Double]("jaccard") > 0.3 &&
+      p13.getAs[Double]("jaccard") < 1.0)
+  }
+
+  test("embedding near-dup within blocks") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0.01f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 0), (4L, Array(1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      "label", 0.95).collect()
+    assert(out.length == 1) // (1,2); (1,4) blocked apart, (1,3) orthogonal
+    assert(out.head.getAs[Long]("a_id") == 1L &&
+      out.head.getAs[Long]("b_id") == 2L)
+  }
+
+  test("brute-force topk ranks the identical vector first") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.05f)), (3L, Array(0f, 1f)),
+      (4L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val out = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", 2).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("c_id")).toSeq == Seq(2L, 3L))
+  }
+
+  test("lsh topk puts identical vectors in the same bucket") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 2f)), (2L, Array(1f, 0f, 2f)),
+      (3L, Array(-1f, 3f, 0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val out = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, planes = 4).collect()
+    assert(out.exists(r => r.getAs[Long]("c_id") == 2L &&
+      math.abs(r.getAs[Double]("sim") - 1.0) < 1e-12))
+  }
+
+  test("language id predicts via stopword scores") {
+    val d = Seq((1L, "the cat is on the mat"), (2L, "der hund und das ist"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(d, "text").orderBy("doc_id")
+      .collect().map(_.getAs[String]("predicted_lang")).toSeq
+    assert(out == Seq("en", "de"))
+  }
+
+  test("quality + token counts + fingerprint are deterministic") {
+    val out = TextAnalysis.fingerprint(
+      TextAnalysis.tokenCounts(
+        TextAnalysis.qualityScore(docs, "text"), "text"), "text")
+      .orderBy("doc_id").collect()
+    assert(out.head.getAs[Int]("n_words") == 11)
+    assert(out.head.getAs[Int]("ws_tokens") == 11)
+    assert(out.head.getAs[Long]("fingerprint") ==
+      out(1).getAs[Long]("fingerprint")) // identical texts
+    assert(out.head.getAs[Long]("fingerprint") !=
+      out(3).getAs[Long]("fingerprint"))
+  }
+
+  test("multimodal: binary plumbing, per-partition decode, frame plan") {
+    val items = Multimodal.asMediaItems(docs, "doc_id", "text", "video")
+    assert(items.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.decodeFeatures(spark, items, partitions = 2)
+    val rows = feats.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.feature.length == 16))
+    assert(rows.forall(f => f.width >= 1 && f.width <= 640))
+    // identical payloads decode identically (determinism)
+    val byId = rows.map(f => f.media_id -> f).toMap
+    assert(byId(1L).feature.toSeq == byId(2L).feature.toSeq)
+    val frames = Multimodal.sampleFrames(feats, stride = 2)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx"))
+    assert(frames.count() > 0)
+  }
+}

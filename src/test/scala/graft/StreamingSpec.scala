@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.EventsStreaming
+
+class StreamingSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def eventsDf = Seq(
+    (1L, ts("2026-01-01 10:05:00"), 7L, "click", 1.0),
+    (2L, ts("2026-01-01 10:20:00"), 7L, "click", 2.0),
+    (3L, ts("2026-01-01 11:10:00"), 7L, "view", 4.0),
+    (4L, ts("2026-01-01 13:00:00"), 7L, "click", 8.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("streaming windowed counts over a file source (AvailableNow)") {
+    val srcDir = tmpDir("events-src")
+    val outDir = tmpDir("events-out")
+    val ckDir = tmpDir("events-ck")
+    eventsDf.coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = EventsStreaming.readEventStream(spark, srcDir, schema)
+    assert(stream.isStreaming)
+    val agg = EventsStreaming.windowedCounts(stream, "1 hour", "2 hours")
+    val q = EventsStreaming.writeWindowed(agg, outDir, ckDir)
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(outDir)
+    // watermark closes the 10:00 and 11:00 windows; 13:00 stays open
+    val win10 = out.filter(col("win_start") === ts("2026-01-01 10:00:00"))
+      .collect()
+    assert(win10.length == 1)
+    assert(win10.head.getAs[Long]("n") == 2)
+    assert(win10.head.getAs[Double]("total") == 3.0)
+  }
+
+  test("restarting the stream is incremental (checkpointed)") {
+    val srcDir = tmpDir("events-src2")
+    val outDir = tmpDir("events-out2")
+    val ckDir = tmpDir("events-ck2")
+    eventsDf.filter(col("event_id") <= 2).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val q1 = EventsStreaming.writeWindowed(
+      EventsStreaming.windowedCounts(
+        EventsStreaming.readEventStream(spark, srcDir, schema),
+        "1 hour", "0 seconds"), outDir, ckDir)
+    q1.awaitTermination(60000)
+    val n1 = spark.read.parquet(outDir).count()
+    // append more events, resume from checkpoint
+    eventsDf.filter(col("event_id") > 2).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val q2 = EventsStreaming.writeWindowed(
+      EventsStreaming.windowedCounts(
+        EventsStreaming.readEventStream(spark, srcDir, schema),
+        "1 hour", "0 seconds"), outDir, ckDir)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() >= n1)
+  }
+
+  test("stateful sessionization (mapGroupsWithState) on bounded input") {
+    val out = EventsStreaming.sessionize(spark, eventsDf).collect()
+    assert(out.length == 1)
+    val s = out.head
+    assert(s.user_id == 7L)
+    // first session: 10:05 + 10:20 (15-min gap) — 11:10 is a new session
+    assert(s.session_start == ts("2026-01-01 10:05:00"))
+    assert(s.n_events == 2)
+    assert(s.total_value == 3.0)
+  }
+}
