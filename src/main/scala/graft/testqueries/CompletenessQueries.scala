@@ -1,0 +1,142 @@
+package graft.testqueries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Engine-completeness operators beyond the reference's surface
+  * (SURVEY §2.3 notes the reference has only the inner equi-join; §2.7
+  * none of the set ops): outer/semi/anti joins, rollup grouping sets,
+  * general window functions, native listagg, scalar-subquery shape.
+  */
+object CompletenessQueries {
+  import Tables._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Left outer join with null-extension + conditional aggregation over
+    // the null side.
+    QueryDef("q32_outer_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          Fns.sumDec(col("o_totalprice")).as("spend"),
+          max(col("o_orderkey").isNull).as("has_no_orders"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS spend,
+        bool_or(o_orderkey IS NULL) AS has_no_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // Semi + anti joins (EXISTS / NOT EXISTS shapes), tagged and unioned.
+    QueryDef("q33_semi_anti_join",
+      (s, d) => {
+        val c = customer(s, d).select("c_custkey", "c_mktsegment")
+        val o = orders(s, d).select("o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .withColumn("src", lit("has_orders"))
+          .unionByName(
+            c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+              .withColumn("src", lit("no_orders")))
+          .orderBy("c_custkey", "src")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, 'has_orders' AS src
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, 'no_orders' AS src
+        FROM customer c
+        WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+      ORDER BY c_custkey, src""")),
+
+    // ROLLUP grouping sets with grouping indicators; sort keys made
+    // non-null via the grouping flags + coalesce (Spark and DuckDB
+    // disagree on default NULL sort order).
+    QueryDef("q34_rollup",
+      (s, d) => lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          Fns.sumDec(col("l_quantity")).as("sum_qty"))
+        .select(col("g_rf"), col("g_ls"),
+          coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("g_rf", "g_ls", "rf", "ls"),
+      Some("""SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        COALESCE(l_returnflag, '<all>') AS rf,
+        COALESCE(l_linestatus, '<all>') AS ls,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, rf, ls""")),
+
+    // General window functions: rank, dense_rank, lag, running sum per
+    // customer over their orders (exact decimal running sum → double).
+    QueryDef("q35_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          lag("o_orderkey", 1).over(w).as("prev_order"),
+          sum(col("o_totalprice").cast("decimal(28,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow))
+            .cast("double").as("running_spend"))
+          .orderBy("o_custkey", "rnk", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        rank() OVER w AS rnk,
+        dense_rank() OVER w AS drnk,
+        lag(o_orderkey) OVER w AS prev_order,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rnk, o_orderkey""")),
+
+    // Spark 4.1 native listagg (SURVEY A2's preferred realization) —
+    // WITHIN GROUP ordered, value tie-break for determinism.
+    QueryDef("q36_listagg_native",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(expr("listagg(l_returnflag, ',') WITHIN GROUP " +
+          "(ORDER BY l_linenumber, l_returnflag)").as("flags"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+        string_agg(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag)
+          AS flags
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // Scalar-subquery shape: orders above the global average price.
+    // DataFrame side: broadcast cross join of the 1-row aggregate — the
+    // plan Spark's own scalar-subquery rewrite produces.
+    QueryDef("q37_scalar_subquery",
+      (s, d) => {
+        val avgPrice = orders(s, d)
+          .agg((sum(col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double") / count(lit(1))).as("avg_price"))
+        orders(s, d).join(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("avg_price") * 1.5)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice >
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+            AS DOUBLE) / COUNT(*) FROM orders) * CAST(1.5 AS DOUBLE)
+        ORDER BY o_orderkey"""))
+  )
+}

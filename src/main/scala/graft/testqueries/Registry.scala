@@ -3,5 +3,6 @@ package graft.testqueries
 /** All driver-checkable queries, in catalog order. */
 object Registry {
   def all: Seq[QueryDef] =
-    CoreQueries.all ++ TextDedupQueries.all ++ VectorEventQueries.all
+    CoreQueries.all ++ TextDedupQueries.all ++ VectorEventQueries.all ++
+      CompletenessQueries.all
 }
