@@ -29,6 +29,18 @@ object Fns {
   def portableHash60(c: Column, seed: Int): Column =
     portableHash60(concat(lit(s"$seed:"), c))
 
+  /** Universal-hash family over a single md5-derived base value: member j
+    * is `(A(j)*h + B(j)) mod P` with h = portableHash60 mod P. One md5 per
+    * row serves the whole family (16 md5s per row was the MinHash
+    * bottleneck); all-integer arithmetic stays in codegen and is exactly
+    * reproducible in DuckDB. P = 1e9+7 keeps every product under 2^60. */
+  val HashP = 1000000007L
+  def hashA(j: Int): Long = ((j + 1) * 2654435761L) % HashP
+  def hashB(j: Int): Long = ((j + 1) * 40503L + 17) % HashP
+  def hashBase(c: Column): Column = portableHash60(c) % HashP
+  def hashMember(h: Column, j: Int): Column =
+    (lit(hashA(j)) * h + lit(hashB(j))) % HashP
+
   /** Ordered list aggregation — `list(v ORDER BY ord)` (DuckDB) done the
     * canonical Spark way: collect (ord, v) structs, sort by the struct
     * (lexicographic on fields — equal `ord` values tie-break on `v`, so
@@ -102,6 +114,12 @@ object Fns {
     dotProduct(ad, bd) /
       (sqrt(dotProduct(ad, ad)) * sqrt(dotProduct(bd, bd)))
   }
+
+  /** NOTE on a rejected alternative: a statically-unrolled
+    * element_at(a,1)*element_at(b,1)+... chain generates a method so large
+    * that the JVM JIT refuses to compile it (huge-method bailout) and it
+    * runs in the bytecode interpreter — measured 3-6× SLOWER than this
+    * zip_with fold at 64 dims. Keep the fold. */
 
   /** Word tokenization on whitespace after trim (empty string -> empty
     * array). DuckDB mirror: string_split_regex(trim(x), '\s+'). */

@@ -18,22 +18,42 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Distinct word-n-gram shingles: (id, s). */
+  /** Distinct word-n-gram shingles: (id, s). Built from arrays_zip of
+    * shifted slices + explode — no lambda higher-order functions, which
+    * are evaluated interpreted and dominated the profile; this shape
+    * stays in whole-stage codegen. */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(Fns.shingles(Fns.words(col(textCol)), n)).as("s"))
+      n: Int): DataFrame = {
+    val shifted = Seq(col("id"), col("w0")) ++ (1 until n).map(k =>
+      slice(col("w0"), lit(k + 1), size(col("w0")) - k).as(s"w$k"))
+    val named = docs
+      .select(col(idCol).as("id"), Fns.words(col(textCol)).as("w0"))
+      .filter(size(col("w0")) >= n)
+      .select(shifted: _*)
+    val z = explode(arrays_zip((0 until n).map(k => col(s"w$k")): _*))
+    named.select(col("id"), z.as("z"))
+      .filter(col(s"z.w${n - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (0 until n).map(k => col(s"z.w$k")): _*).as("s"))
       .distinct()
+  }
 
-  /** MinHash signature rows (id, j, mh) for `numHashes` family members
-    * over word-n-gram shingles. */
-  def minhash(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, shingleN: Int = 3): DataFrame =
+  /** MinHash signatures (id, sig: array<string> of `numHashes` member
+    * minima) over word-n-gram shingles. One aggregation pass — the hash
+    * family is `numHashes` min-aggregate expressions over the shingle
+    * rows, NOT a ×numHashes row explode (which would multiply the
+    * shuffle; the wide form shuffles each shingle row once). */
+  def minhashSig(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
+    val mins = (0 until numHashes).map(j =>
+      min(Fns.hashMember(col("h"), j)).as(s"mh$j"))
     shingles(docs, idCol, textCol, shingleN)
-      .withColumn("j", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy("id", "j")
-      .agg(min(Fns.portableHash60(
-        concat(col("j").cast("string"), lit(":"), col("s")))).as("mh"))
+      .select(col("id"), Fns.hashBase(col("s")).as("h"))
+      .groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j =>
+        col(s"mh$j").cast("string")): _*).as("sig"))
+  }
 
   /** MinHash-LSH candidate pairs: `bands` bands of `rowsPerBand` hashes;
     * pairs sharing any band bucket, with estimated Jaccard = matching
@@ -41,25 +61,21 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val mh = minhash(docs, idCol, textCol, numHashes)
-    val sig = mh.groupBy("id")
-      .agg(Fns.orderedCollect(col("j"), col("mh").cast("string")).as("sig"))
+    val sig = minhashSig(docs, idCol, textCol, numHashes)
     val banded = sig
       .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
-      .select(col("id"), col("b"),
+      .select(col("id"), col("sig"), col("b"),
         md5(array_join(slice(col("sig"), col("b") * rowsPerBand + 1,
           lit(rowsPerBand)), ",")).as("bh"))
-    val cand = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
       .distinct()
-    cand.join(mh.as("ma"), col("a_id") === col("ma.id"))
-      .join(mh.as("mb"),
-        col("b_id") === col("mb.id") && col("ma.j") === col("mb.j"))
-      .groupBy("a_id", "b_id")
-      .agg((sum(when(col("ma.mh") === col("mb.mh"), 1).otherwise(0))
-        .cast("double") / numHashes).as("est_sim"))
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes).as("est_sim"))
   }
 
   /** SimHash signatures (id, simhash): `bits`-bit signature from per-word
@@ -86,7 +102,12 @@ object Dedup {
     * at `threshold`. Returns (a_id, b_id, inter, jaccard). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
+    // join on the 60-bit shingle hash, not the string: fixed-width join
+    // keys sort/compare far faster through the shuffle; a false pair
+    // needs an md5-60bit collision among the distinct shingles
+    // (~n²/2^61 — negligible even at 100 TB corpus scale)
     val sh = shingles(docs, idCol, textCol, shingleN)
+      .select(col("id"), Fns.portableHash60(col("s")).as("s"))
     val sz = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
@@ -105,10 +126,16 @@ object Dedup {
     * column bounds the pairwise work per group. */
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame =
-    vecs.as("x").join(vecs.as("y"),
+    vecs.as("x").join(vecs.as("y"),  // blocked pairs; Catalyst picks the
+      // join strategy — callers broadcast the build side when it fits
         col(s"x.$blockCol") === col(s"y.$blockCol") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
         Fns.cosine(col(s"x.$vecCol"), col(s"y.$vecCol")).as("sim"))
+      // nondeterministic barrier column: keeps the similarity predicate
+      // from being substituted into the join condition (it would run the
+      // full dot product per candidate pair, twice)
+      .withColumn("__barrier", monotonically_increasing_id())
       .filter(col("sim") >= threshold)
+      .drop("__barrier")
 }

@@ -68,7 +68,8 @@ object CompletenessQueries {
           coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
           coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
           col("n"), col("sum_qty"))
-        .orderBy("g_rf", "g_ls", "rf", "ls"),
+        .transform(QueryDef.sorted1(_, col("g_rf"), col("g_ls"),
+          col("rf"), col("ls"))),
       Some("""SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
         CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
         COALESCE(l_returnflag, '<all>') AS rf,
@@ -93,7 +94,7 @@ object CompletenessQueries {
             .over(w.rowsBetween(Window.unboundedPreceding,
               Window.currentRow))
             .cast("double").as("running_spend"))
-          .orderBy("o_custkey", "rnk", "o_orderkey")
+          .transform(QueryDef.sorted1(_, col("o_custkey"), col("rnk"), col("o_orderkey")))
       },
       Some("""SELECT o_custkey, o_orderkey,
         rank() OVER w AS rnk,
@@ -114,7 +115,7 @@ object CompletenessQueries {
         .groupBy("l_orderkey")
         .agg(expr("listagg(l_returnflag, ',') WITHIN GROUP " +
           "(ORDER BY l_linenumber, l_returnflag)").as("flags"))
-        .orderBy("l_orderkey"),
+        .transform(QueryDef.sorted1(_, col("l_orderkey"))),
       Some("""SELECT l_orderkey,
         string_agg(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag)
           AS flags

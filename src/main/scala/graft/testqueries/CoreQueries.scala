@@ -112,7 +112,7 @@ object CoreQueries {
             lit("")).as("big_flags"),
           Fns.orderedStringAgg(col("l_linenumber"),
             col("l_partkey").cast("string"), ",").as("parts"))
-        .orderBy("l_orderkey"),
+        .transform(QueryDef.sorted1(_, col("l_orderkey"))),
       Some("""SELECT l_orderkey,
         string_agg(CASE WHEN l_quantity > 25 THEN l_returnflag END,
           ',' ORDER BY l_linenumber,
@@ -165,7 +165,7 @@ object CoreQueries {
         .groupBy("l_orderkey")
         .agg(to_json(Fns.orderedCollect(col("l_linenumber"),
           col("l_returnflag"))).as("sig"))
-        .orderBy("l_orderkey"),
+        .transform(QueryDef.sorted1(_, col("l_orderkey"))),
       Some("""SELECT l_orderkey,
         to_json(list(l_returnflag ORDER BY l_linenumber, l_returnflag))
           AS sig
@@ -192,7 +192,7 @@ object CoreQueries {
           .agg(count(lit(1)).as("cluster_size"),
             to_json(Fns.orderedCollect(col("l_suppkey"),
               col("l_suppkey"))).as("impls"))
-          .orderBy(desc("cluster_size"), col("fp_hash"))
+          .transform(QueryDef.sorted1(_, desc("cluster_size"), col("fp_hash")))
       },
       Some("""WITH s1 AS (
         SELECT l_suppkey, l_orderkey,

@@ -34,22 +34,26 @@ object TextDedupQueries {
             FROM documents),
         UNNEST(range(1, len(ws) - 1)) t(i))"""
 
-  /** 16-member MinHash signature rows: (doc_id, j, mh). */
+  /** 16-member MinHash signatures via graft.ops.Dedup (single-pass wide
+    * aggregation — no ×16 row explode). */
   private def minhash(s: org.apache.spark.sql.SparkSession, d: String) =
-    shingleSet(s, d)
-      .withColumn("j", explode(sequence(lit(0), lit(15))))
-      .groupBy("doc_id", "j")
-      .agg(min(Fns.portableHash60(
-        concat(col("j").cast("string"), lit(":"), col("s")))).as("mh"))
+    graft.ops.Dedup.minhashSig(documents(s, d), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
 
-  private val minhashSql =
+  private val minhashSql = {
+    // the same universal-hash family constants as Fns.hashA/hashB
+    val fam = (0 until 16).map(j =>
+      s"(${j}, ${Fns.hashA(j)}, ${Fns.hashB(j)})").mkString(", ")
     s"""$shingleSql,
+      hb AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(s), 1, 15))::BIGINT % ${Fns.HashP} AS h
+        FROM sh),
       mh AS (
-        SELECT doc_id, j,
-          min(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15))
-            ::BIGINT) AS mh
-        FROM sh, UNNEST(range(0, 16)) t(j)
+        SELECT doc_id, j, min((a * h + b) % ${Fns.HashP}) AS mh
+        FROM hb, (VALUES $fam) t(j, a, b)
         GROUP BY doc_id, j)"""
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -103,7 +107,7 @@ object TextDedupQueries {
           ((nStop / nWords) * 0.5 +
             when(nWords >= 20, 0.5).otherwise(nWords * 0.025))
             .as("quality_score"))
-          .orderBy("doc_id")
+          .transform(QueryDef.sorted1(_, col("doc_id")))
       },
       Some(s"""SELECT doc_id,
         len(string_split_regex(trim(text), '\\s+')) AS n_words,
@@ -146,7 +150,7 @@ object TextDedupQueries {
             .when(sDe >= sEs && sDe >= sFr, "de")
             .when(sEs >= sFr, "es")
             .otherwise("fr").as("predicted_lang"))
-          .orderBy("doc_id")
+          .transform(QueryDef.sorted1(_, col("doc_id")))
       },
       Some {
         def hitsSql(l: Seq[String]) =
@@ -208,10 +212,8 @@ object TextDedupQueries {
     // engine-checkable.
     QueryDef("q21_minhash_signatures",
       (s, d) => minhash(s, d)
-        .groupBy("doc_id")
-        .agg(array_join(Fns.orderedCollect(col("j"),
-          col("mh").cast("string")), ",").as("sig"))
-        .orderBy("doc_id"),
+        .select(col("doc_id"), array_join(col("sig"), ",").as("sig"))
+        .transform(QueryDef.sorted1(_, col("doc_id"))),
       Some(s"""WITH $minhashSql
       SELECT doc_id,
         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
@@ -222,29 +224,9 @@ object TextDedupQueries {
     // is on (band index, band hash) — at 100 TB this is the standard
     // near-dup shuffle; no global n².
     QueryDef("q22_minhash_lsh_candidates",
-      (s, d) => {
-        val mh = minhash(s, d)
-        val sig = mh.groupBy("doc_id")
-          .agg(Fns.orderedCollect(col("j"), col("mh").cast("string"))
-            .as("sig"))
-        val bands = sig
-          .withColumn("b", explode(sequence(lit(0), lit(3))))
-          .select(col("doc_id"), col("b"),
-            md5(array_join(slice(col("sig"), col("b") * 4 + 1, lit(4)), ","))
-              .as("bh"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-        cand.join(mh.as("ma"), col("a_id") === col("ma.doc_id"))
-          .join(mh.as("mb"),
-            col("b_id") === col("mb.doc_id") && col("ma.j") === col("mb.j"))
-          .groupBy("a_id", "b_id")
-          .agg((sum(when(col("ma.mh") === col("mb.mh"), 1).otherwise(0))
-            .cast("double") / 16.0).as("est_sim"))
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => graft.ops.Dedup
+        .minhashLsh(documents(s, d), "doc_id", "text")
+        .transform(QueryDef.sorted1(_, col("a_id"), col("b_id"))),
       Some(s"""WITH $minhashSql,
       sig AS (
         SELECT doc_id, list(CAST(mh AS VARCHAR) ORDER BY j) AS sig
@@ -269,22 +251,9 @@ object TextDedupQueries {
     // Exact n-gram Jaccard near-dup: shared-shingle candidate join,
     // |A∩B| / (|A|+|B|−|A∩B|), threshold 0.3.
     QueryDef("q23_ngram_jaccard",
-      (s, d) => {
-        val sh = shingleSet(s, d)
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = sh.as("x").join(sh.as("y"),
-            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sz.as("sa"), col("a_id") === col("sa.doc_id"))
-          .join(sz.as("sb"), col("b_id") === col("sb.doc_id"))
-          .select(col("a_id"), col("b_id"), col("inter"),
-            (col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")))
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.3)
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => graft.ops.Dedup
+        .ngramJaccard(documents(s, d), "doc_id", "text", 0.3)
+        .transform(QueryDef.sorted1(_, col("a_id"), col("b_id"))),
       Some(s"""WITH $shingleSql,
       sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
       inter AS (
@@ -317,7 +286,7 @@ object TextDedupQueries {
         voted.select(col("doc_id"),
           bits.map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b))
             .otherwise(0L)).reduce(_ + _).as("simhash"))
-          .orderBy("doc_id")
+          .transform(QueryDef.sorted1(_, col("doc_id")))
       },
       Some {
         val votes = (0 until 32).map(b =>

@@ -30,7 +30,7 @@ object VectorEventQueries {
         sim.withColumn("rank", row_number().over(
             Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
           .filter(col("rank") <= 5)
-          .orderBy("q_id", "rank")
+          .transform(QueryDef.sorted1(_, col("q_id"), col("rank")))
       },
       Some("""WITH q AS (
         SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
@@ -52,16 +52,24 @@ object VectorEventQueries {
     // at 100 TB), threshold 0.35.
     QueryDef("q26_embedding_neardup",
       (s, d) => {
+        // Precompute each vector's norm once (5k rows) instead of twice
+        // per pair (~200k pairs at sf0.1). sqrt(da)*sqrt(db) evaluation
+        // order matches Fns.cosine, so values stay bit-identical to the
+        // DuckDB oracle.
+        def dd(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
         val e = embeddings(s, d)
-          .select(col("label"), col("vec_id"), col("embedding"))
-        e.as("x").join(e.as("y"),
+          .select(col("label"), col("vec_id"), col("embedding"),
+            sqrt(Fns.dotProduct(dd(col("embedding")), dd(col("embedding"))))
+              .as("norm"))
+        e.as("x").join(broadcast(e.as("y")),
             col("x.label") === col("y.label") &&
               col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-            round(Fns.cosine(col("x.embedding"), col("y.embedding")), 6)
-              .as("sim"))
-          .filter(col("sim") >= 0.35)
-          .orderBy("a_id", "b_id")
+            round(Fns.dotProduct(dd(col("x.embedding")),
+              dd(col("y.embedding")))
+              / (col("x.norm") * col("y.norm")), 6).as("sim"))
+          .transform(QueryDef.filterAbove(_, col("sim") >= 0.35))
+          .transform(QueryDef.sorted1(_, col("a_id"), col("b_id")))
       },
       Some("""SELECT x.vec_id AS a_id, y.vec_id AS b_id,
         round(list_cosine_similarity(x.embedding::DOUBLE[],
