@@ -1,0 +1,21 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions installer for the engine's native functions.
+  * Usage:
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  *     ...
+  *   spark.sql("SELECT graft_git_blob_hash(source_code) FROM code")
+  * }}}
+  * Nothing in the reference's surface needs a custom Rule/Strategy
+  * (SURVEY §4) — injection is limited to expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((GitBlobHashExpr.identifier, GitBlobHashExpr.info,
+      GitBlobHashExpr.builder))
+  }
+}

@@ -138,6 +138,30 @@ object CompletenessQueries {
         WHERE o_totalprice >
           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
             AS DOUBLE) / COUNT(*) FROM orders) * CAST(1.5 AS DOUBLE)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // The native Catalyst GitBlobHashExpr (codegen'd custom Expression,
+    // SURVEY §7 X7 upgrade path) through the same oracle as q15 — proves
+    // the custom-expression path end-to-end, not just in unit tests.
+    QueryDef("q38_git_blob_hash_native",
+      (s, d) => {
+        s.sessionState.functionRegistry.registerFunction(
+          graft.plans.GitBlobHashExpr.identifier,
+          graft.plans.GitBlobHashExpr.info,
+          graft.plans.GitBlobHashExpr.builder)
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "graft_git_blob_hash(text) AS code_hash")
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(
+            replace(text, chr(13) || chr(10), chr(10)),
+            '(?m)[ \t]+$', '', 'g'), '\n+$', '') AS t
+        FROM documents)
+      SELECT doc_id,
+        sha256('blob ' || CAST(strlen(t) AS VARCHAR) || chr(0) || t)
+          AS code_hash
+      FROM n ORDER BY doc_id"""))
   )
 }
