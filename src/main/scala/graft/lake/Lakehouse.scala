@@ -69,6 +69,30 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     StructType(schema.fields :+ field)
   }
 
+  /** SQL DDL registration (SURVEY S6): declares the partitioned layout as
+    * an external catalog table so plain `spark.sql` sees it; call
+    * [[repairTable]] after out-of-band appends so new partition dirs are
+    * discovered. */
+  def createTable(table: String, schema: StructType,
+      location: String = null): Unit = {
+    val loc = Option(location).getOrElse(dir(table))
+    val dataCols = schema.fields
+      .filterNot(f => Schemas.partitionCols.contains(f.name))
+      .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+    val partCols = schema.fields
+      .filter(f => Schemas.partitionCols.contains(f.name))
+      .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS $table ($dataCols)
+      USING parquet PARTITIONED BY ($partCols)
+      LOCATION '$loc'""")
+    repairTable(table)
+  }
+
+  /** Partition discovery for externally-appended files
+    * (`MSCK REPAIR TABLE`). */
+  def repairTable(table: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE $table")
+
   /** The reference's `ObservationAnalyzer.query_*` API
     * (`lakehouse.py:365-411`) — but lazy: tables are registered as temp
     * views over the partitioned layout, so user SQL keeps partition

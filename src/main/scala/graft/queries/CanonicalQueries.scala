@@ -88,14 +88,21 @@ object CanonicalQueries {
         Seq("data_set_id", "problem_id", "test_id"), "inner")
 
   /** Q4a — dataset statistics (`stats.py:14-35`): per-problem counts →
-    * dataset-level totals/ratios, excluding oracle rows. */
-  def datasetStats(observations: DataFrame): DataFrame = {
+    * dataset-level totals/ratios, excluding oracle rows.
+    *
+    * `approx = true` swaps COUNT(DISTINCT) for approx_count_distinct
+    * (HyperLogLog++, SURVEY A5's 100 TB note): one pass, no
+    * distinct-expansion shuffle, ~2% default relative error. */
+  def datasetStats(observations: DataFrame,
+      approx: Boolean = false): DataFrame = {
+    def cd(c: Column): Column =
+      if (approx) approx_count_distinct(c) else countDistinct(c)
     val perProblem = observations
       .filter(!coalesce(col("specified_oracle"), lit(false)))
       .groupBy("data_set_id", "problem_id")
       .agg(
-        countDistinct(col("implementation_id")).as("n_implementations"),
-        countDistinct(col("test_id")).as("n_tests"),
+        cd(col("implementation_id")).as("n_implementations"),
+        cd(col("test_id")).as("n_tests"),
         count(lit(1)).as("n_observations"))
     perProblem.groupBy("data_set_id")
       .agg(

@@ -35,36 +35,49 @@ object EventsStreaming {
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, total_value: Double)
 
-  /** Custom stateful sessionization via mapGroupsWithState: 30-min
-    * inactivity gap closes a session (processing-time timeout emits it).
-    * State per user is O(1) — the scale-safe streaming analog of the
-    * batch gaps-and-islands query (q29). */
+  /** Custom stateful sessionization via flatMapGroupsWithState: a 30-min
+    * inactivity gap closes a session. State per user is O(1) (just the
+    * open session) — the scale-safe streaming analog of the batch
+    * gaps-and-islands query (q29). Rows within the batch are processed
+    * in event order; closed sessions are emitted immediately.
+    *
+    * `emitOpen = true` (default, bounded/batch inputs) also emits the
+    * trailing still-open session so the result is complete; streaming
+    * deployments set it false and rely on timeout-based emission.
+    */
   def sessionize(spark: SparkSession, events: DataFrame,
-      gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[SessionOut] = {
+      gapMs: Long = 30L * 60 * 1000,
+      emitOpen: Boolean = true): org.apache.spark.sql.Dataset[SessionOut] = {
     import spark.implicits._
+    def out(user: Long, s: SessionState) =
+      SessionOut(user, new Timestamp(s.start), new Timestamp(s.last),
+        s.n, s.total)
     events.select(col("user_id"), col("ts"), col("value"))
       .as[SessionInput]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[SessionInput],
             state: GroupState[SessionState]) =>
-          // batch-test-friendly: fold this micro-batch's rows in event
-          // order; emit the closed session summary (streaming runs emit
-          // on timeout instead)
           val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.value))
-          val init = state.getOption.getOrElse(
-            SessionState(Long.MaxValue, Long.MinValue, 0, 0.0))
-          val st = sorted.foldLeft(init) { (s, r) =>
+          val closed = Seq.newBuilder[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { r =>
             val t = r.ts.getTime
-            if (s.n == 0 || t - s.last <= gapMs)
-              SessionState(math.min(s.start, t), math.max(s.last, t),
-                s.n + 1, s.total + r.value)
-            else s // new session within one batch: keep first (test path)
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(SessionState(s.start, math.max(s.last, t),
+                  s.n + 1, s.total + r.value))
+              case Some(s) =>
+                closed += out(user, s)
+                cur = Some(SessionState(t, t, 1, r.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, r.value))
+            }
           }
-          state.update(st)
-          SessionOut(user, new Timestamp(st.start), new Timestamp(st.last),
-            st.n, st.total)
+          cur.foreach(state.update)
+          if (emitOpen) cur.foreach(s => closed += out(user, s))
+          closed.result().iterator
       }
   }
 

@@ -64,6 +64,27 @@ object Demo {
     println("-- lazy SQL API --")
     lake.query("SELECT implementation_id, count(*) AS n FROM observations " +
       "WHERE problem_id = 'p1' GROUP BY 1 ORDER BY 1").show(false)
+
+    println("-- SQL DDL + partition discovery --")
+    lake.createTable("obs_sql", Schemas.observations,
+      location = s"$wh/observations")
+    spark.sql("SELECT problem_id, count(*) AS n FROM obs_sql GROUP BY 1")
+      .show(false)
+
+    println("-- streaming sessionization (batch input) --")
+    val td = "/root/testdata/sf0.001"
+    graft.streaming.EventsStreaming.sessionize(spark,
+      graft.testqueries.Tables.events(spark, td).limit(200))
+      .orderBy("user_id", "session_start").show(5, false)
+
+    println("-- salted skew join --")
+    graft.ops.Skew.saltedJoin(
+      graft.testqueries.Tables.lineitem(spark, td),
+      graft.testqueries.Tables.orders(spark, td)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      Seq("l_orderkey"), 4)
+      .groupBy("o_orderpriority").count().orderBy("o_orderpriority")
+      .show(false)
     println("DEMO_OK")
     spark.stop()
   }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+import graft.queries.CanonicalQueries
+
+class ScaleOpsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("salted join equals the unsalted join (skew mitigation)") {
+    val large = (1 to 500).map(i =>
+      (if (i % 10 == 0) "hot" else s"k$i", i)).toDF("k", "v")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("k2", "B"))
+      .toDF("k", "tag")
+    val salted = Skew.saltedJoin(large, small, Seq("k"), 8)
+      .orderBy("k", "v").collect()
+    val plain = large.join(small, "k").orderBy("k", "v").collect()
+    assert(salted.length == plain.length)
+    assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
+  test("key histogram surfaces heavy keys") {
+    val df = (1 to 100).map(i => if (i <= 60) "hot" else s"k$i")
+      .toDF("k")
+    val top = Skew.keyHistogram(df, Seq("k"), 1).collect().head
+    assert(top.getString(0) == "hot" && top.getLong(1) == 60)
+  }
+
+  test("approx dataset stats agree with exact on small cardinalities") {
+    val exact = CanonicalQueries.datasetStats(Fixtures.observations)
+      .collect().head
+    val approx = CanonicalQueries
+      .datasetStats(Fixtures.observations, approx = true).collect().head
+    // HLL is exact at these cardinalities (3 impls, 2 tests)
+    assert(approx.getAs[Long]("total_implementations") ==
+      exact.getAs[Long]("total_implementations"))
+    assert(approx.getAs[Double]("avg_tests_per_problem") ==
+      exact.getAs[Double]("avg_tests_per_problem"))
+  }
+
+  test("lakehouse SQL DDL: create external table + partition discovery") {
+    val wh = tmpDir("whddl")
+    val lake = new graft.lake.Lakehouse(spark, wh)
+    lake.append("observations", Fixtures.observations,
+      graft.schema.Schemas.observations)
+    lake.createTable("obs_ddl", graft.schema.Schemas.observations,
+      location = s"$wh/observations")
+    assert(spark.sql("SELECT count(*) FROM obs_ddl").collect()
+      .head.getLong(0) == 12)
+    // out-of-band append to a NEW partition, then repair discovers it
+    lake.append("observations",
+      Fixtures.observations.withColumn("problem_id", lit("p2")),
+      graft.schema.Schemas.observations)
+    lake.repairTable("obs_ddl")
+    assert(spark.sql(
+      "SELECT count(*) FROM obs_ddl WHERE problem_id = 'p2'").collect()
+      .head.getLong(0) == 12)
+    spark.sql("DROP TABLE obs_ddl")
+  }
+}

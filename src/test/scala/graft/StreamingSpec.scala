@@ -64,14 +64,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() >= n1)
   }
 
-  test("stateful sessionization (mapGroupsWithState) on bounded input") {
+  test("stateful sessionization (flatMapGroupsWithState), all sessions") {
     val out = EventsStreaming.sessionize(spark, eventsDf).collect()
-    assert(out.length == 1)
-    val s = out.head
-    assert(s.user_id == 7L)
-    // first session: 10:05 + 10:20 (15-min gap) — 11:10 is a new session
-    assert(s.session_start == ts("2026-01-01 10:05:00"))
-    assert(s.n_events == 2)
-    assert(s.total_value == 3.0)
+      .sortBy(_.session_start.getTime)
+    // 10:05+10:20 (15-min gap, one session); 11:10 (50-min gap, new);
+    // 13:00 (new)
+    assert(out.length == 3)
+    assert(out(0).session_start == ts("2026-01-01 10:05:00"))
+    assert(out(0).session_end == ts("2026-01-01 10:20:00"))
+    assert(out(0).n_events == 2 && out(0).total_value == 3.0)
+    assert(out(1).session_start == ts("2026-01-01 11:10:00"))
+    assert(out(1).n_events == 1 && out(1).total_value == 4.0)
+    assert(out(2).session_start == ts("2026-01-01 13:00:00"))
+    assert(out(2).n_events == 1 && out(2).total_value == 8.0)
+  }
+
+  test("sessionize without open-session emission holds back the tail") {
+    val out = EventsStreaming.sessionize(spark, eventsDf, emitOpen = false)
+      .collect().sortBy(_.session_start.getTime)
+    // only the two CLOSED sessions (a later event arrived after each);
+    // the 13:00 session stays in state
+    assert(out.length == 2)
+    assert(out(1).session_start == ts("2026-01-01 11:10:00"))
   }
 }
