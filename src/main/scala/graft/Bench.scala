@@ -16,6 +16,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // collect_list-family aggregations (ObjectHashAggregate) fall back
+      // to sort-based aggregation after 128 distinct keys per partition
+      // by default — measured 2.3x slowdown on the ingest regroup
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

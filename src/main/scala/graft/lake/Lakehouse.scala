@@ -69,6 +69,31 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     StructType(schema.fields :+ field)
   }
 
+  /** Small-file compaction (SURVEY §7 "small-file / tiny-partition
+    * layout" hazard: many appends × many problems → file explosion):
+    * rewrites each partition's files into `filesPerPartition`, preserving
+    * layout and data. Run periodically, like Iceberg's rewrite-data-files
+    * maintenance. */
+  def compact(table: String, schema: StructType): Unit = {
+    val tmp = s"${dir(table)}__compacting"
+    // hash-repartition on the partition columns: all rows of one
+    // partition dir land in one task → one output file per dir
+    align(loadEvolved(table), schema)
+      .repartition(Schemas.partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(Schemas.partitionCols: _*)
+      .parquet(tmp)
+    val target = new java.io.File(dir(table))
+    val backup = new java.io.File(s"${dir(table)}__old")
+    require(target.renameTo(backup), s"compact: cannot move $target")
+    require(new java.io.File(tmp).renameTo(target),
+      s"compact: cannot promote $tmp")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(backup)
+  }
+
   /** SQL DDL registration (SURVEY S6): declares the partitioned layout as
     * an external catalog table so plain `spark.sql` sees it; call
     * [[repairTable]] after out-of-band appends so new partition dirs are

@@ -81,6 +81,16 @@ object EventsStreaming {
       }
   }
 
+  /** Streaming exact dedup with bounded state: drops rows whose key was
+    * already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the streaming face of
+    * [[graft.ops.Dedup.exact]]; state is evicted as the watermark
+    * advances, so it runs indefinitely. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming sink: append windowed aggregates to partitioned parquet
     * with checkpointing — the incremental-append lakehouse path. */
   def writeWindowed(df: DataFrame, outDir: String,

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ingest.ArenaIngest
+import graft.lake.Lakehouse
+import graft.schema.Schemas
+
+/** Ingestion-throughput benchmark — the EP2 pipeline end to end (glob
+  * read → marker filter → 8-key regroup with ordered/conditional aggs →
+  * schema projection → partitioned append), comparable to the
+  * reference's ~155k records/s single-node claim (`BASELINE.md`).
+  *
+  * Input cells are synthesized from the sf0.1 lineitem table: each row
+  * becomes one op + one input + one value cell of a sequence-sheet step
+  * (3 cell records per step), sharded into 20 problems.
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // collect_list-family aggregations (ObjectHashAggregate) fall back
+      // to sort-based aggregation after 128 distinct keys per partition
+      // by default — measured 2.3x slowdown on the ingest regroup
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val base = li.select(
+      concat(lit("run"), (col("l_orderkey") % 8).cast("string"))
+        .as("EXECUTIONID"),
+      concat(lit("p"), (col("l_orderkey") % 20).cast("string"))
+        .as("ABSTRACTIONID"),
+      concat(lit("sys"), (col("l_suppkey") % 50).cast("string"))
+        .as("SYSTEMID"),
+      lit("").as("VARIANTID"),
+      lit("0").as("ADAPTERID"),
+      concat(lit("t"), (col("l_partkey") % 100).cast("string"))
+        .as("SHEETID"),
+      lit("arena1").as("ARENAID"),
+      col("l_linenumber").as("Y"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val cells = base.selectExpr("EXECUTIONID", "ABSTRACTIONID", "SYSTEMID",
+        "VARIANTID", "ADAPTERID", "SHEETID", "ARENAID", "Y",
+        """stack(3,
+          1, 'op', 'invoke', CAST(l_quantity AS DOUBLE),
+          2, 'input_value', CAST(l_discount AS STRING),
+            CAST(l_quantity AS DOUBLE),
+          3, 'value', CAST(l_extendedprice AS STRING),
+            CAST(l_quantity AS DOUBLE)) AS (X, TYPE, VALUE, EXECUTIONTIME)""")
+
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("arena-cells").toString
+    cells.write.mode("overwrite").parquet(srcDir)
+    val wh = java.nio.file.Files.createTempDirectory("ingest-wh").toString
+    val lake = new Lakehouse(spark, wh)
+
+    val raw = spark.read.parquet(s"$srcDir/*.parquet") // S1 glob scan
+    val nCells = raw.count()
+    val t0 = System.nanoTime()
+    lake.append("observations",
+      ArenaIngest.observationsFromArena(raw, "IngestBench"),
+      Schemas.observations,
+      sortCols = Seq("implementation_id", "test_id", "step_id"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nObs = lake.observations.count()
+    println(f"INGEST cells=$nCells obs=$nObs secs=$secs%.2f " +
+      f"cells_per_sec=${nCells / secs}%.0f obs_per_sec=${nObs / secs}%.0f")
+    spark.stop()
+  }
+}
