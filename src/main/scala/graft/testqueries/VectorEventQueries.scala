@@ -21,12 +21,21 @@ object VectorEventQueries {
     // (row_number) as well.
     QueryDef("q25_cosine_topk",
       (s, d) => {
+        // cast to double and compute norms ONCE per vector before the
+        // fan-out join — Fns.cosine inline would re-cast both arrays and
+        // recompute both norms per (query, candidate) pair
+        def dd(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
         val e = embeddings(s, d)
+          .select(col("vec_id"), dd(col("embedding")).as("ed"),
+            sqrt(Fns.dotProduct(dd(col("embedding")), dd(col("embedding"))))
+              .as("norm"))
         val q = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+          .select(col("vec_id").as("q_id"), col("ed").as("qd"),
+            col("norm").as("qnorm"))
         val sim = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("c_id"),
-            round(Fns.cosine(col("qv"), col("embedding")), 6).as("sim"))
+            round(Fns.dotProduct(col("qd"), col("ed"))
+              / (col("qnorm") * col("norm")), 6).as("sim"))
         sim.withColumn("rank", row_number().over(
             Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
           .filter(col("rank") <= 5)
@@ -58,15 +67,14 @@ object VectorEventQueries {
         // DuckDB oracle.
         def dd(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
         val e = embeddings(s, d)
-          .select(col("label"), col("vec_id"), col("embedding"),
+          .select(col("label"), col("vec_id"), dd(col("embedding")).as("ed"),
             sqrt(Fns.dotProduct(dd(col("embedding")), dd(col("embedding"))))
               .as("norm"))
         e.as("x").join(broadcast(e.as("y")),
             col("x.label") === col("y.label") &&
               col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-            round(Fns.dotProduct(dd(col("x.embedding")),
-              dd(col("y.embedding")))
+            round(Fns.dotProduct(col("x.ed"), col("y.ed"))
               / (col("x.norm") * col("y.norm")), 6).as("sim"))
           .transform(QueryDef.filterAbove(_, col("sim") >= 0.35))
           .transform(QueryDef.sorted1(_, col("a_id"), col("b_id")))

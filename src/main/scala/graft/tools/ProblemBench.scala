@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.CanonicalQueries
+
+/** Per-problem latency benchmark — the reference's headline scenario
+  * (BASELINE.md: Q1 SRM view 53 ms, Q2 clustering 28 ms, Q3 three-way
+  * join 91 ms mean per problem, partition-pruned). Builds a partitioned
+  * lakehouse from the IngestBench synthesis (20 problems, ~490k
+  * observation rows), then times each canonical query per problem, warm,
+  * measuring the partition-pruning latency path.
+  */
+object ProblemBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      // per-problem queries touch ONE pruned partition (~25k rows):
+      // shuffle parallelism sized to the pruned data, not the cluster —
+      // 32-task stages would be pure scheduler overhead here
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // build the lakehouse once (same synthesis as IngestBench)
+    val wh = java.nio.file.Files.createTempDirectory("pb-wh").toString
+    buildLakehouse(spark, wh)
+    val lake = new graft.lake.Lakehouse(spark, wh)
+    val problems = (0 until 20).map(i => s"p$i")
+
+    def obs(p: String) =
+      lake.observations.filter(col("data_set_id") === "IngestBench" &&
+        col("problem_id") === p)
+    def code(p: String) =
+      lake.codeImplementations.filter(col("data_set_id") === "IngestBench"
+        && col("problem_id") === p)
+    def tsts(p: String) =
+      lake.tests.filter(col("data_set_id") === "IngestBench" &&
+        col("problem_id") === p)
+
+    def bench(name: String, q: String => DataFrame): Unit = {
+      problems.take(3).foreach(p => q(p).count()) // warm-up
+      val times = problems.map { p =>
+        val t0 = System.nanoTime()
+        q(p).count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      val mean = times.sum / times.size
+      println(f"PROBLEM_BENCH $name%-24s mean=${mean}%7.1f ms  " +
+        f"p50=${times(times.size / 2)}%7.1f  min=${times.head}%7.1f  " +
+        f"max=${times.last}%7.1f  (n=${times.size})")
+    }
+
+    bench("srm_output_view",
+      p => CanonicalQueries.srmOutputViewDynamic(obs(p)))
+    bench("behavioral_clustering",
+      p => CanonicalQueries.behavioralClustering(obs(p)))
+    bench("three_way_join",
+      p => CanonicalQueries.threeWayJoin(obs(p), code(p), tsts(p)))
+    bench("per_problem_stats",
+      p => CanonicalQueries.perProblemStats(obs(p)))
+    spark.stop()
+  }
+
+  /** Synthesize arena cells from lineitem and ingest all three tables. */
+  def buildLakehouse(spark: SparkSession, wh: String): Unit = {
+    val lake = new graft.lake.Lakehouse(spark, wh)
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val base = li.select(
+      concat(lit("run"), (col("l_orderkey") % 8).cast("string"))
+        .as("EXECUTIONID"),
+      concat(lit("p"), (col("l_orderkey") % 20).cast("string"))
+        .as("ABSTRACTIONID"),
+      concat(lit("sys"), (col("l_suppkey") % 50).cast("string"))
+        .as("SYSTEMID"),
+      lit("").as("VARIANTID"),
+      lit("0").as("ADAPTERID"),
+      concat(lit("t"), (col("l_partkey") % 100).cast("string"))
+        .as("SHEETID"),
+      lit("arena1").as("ARENAID"),
+      col("l_linenumber").as("Y"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val cells = base.selectExpr("EXECUTIONID", "ABSTRACTIONID", "SYSTEMID",
+      "VARIANTID", "ADAPTERID", "SHEETID", "ARENAID", "Y",
+      """stack(3,
+        1, 'op', 'invoke', CAST(l_quantity AS DOUBLE),
+        2, 'input_value', CAST(l_discount AS STRING),
+          CAST(l_quantity AS DOUBLE),
+        3, 'value', CAST(l_extendedprice AS STRING),
+          CAST(l_quantity AS DOUBLE)) AS (X, TYPE, VALUE, EXECUTIONTIME)""")
+    lake.append("observations",
+      graft.ingest.ArenaIngest.observationsFromArena(cells, "IngestBench"),
+      graft.schema.Schemas.observations,
+      sortCols = Seq("implementation_id", "test_id", "step_id"))
+    // dimensions: one code row per impl, one test row per sheet
+    val meta = cells.filter(col("Y") === 1)
+    lake.append("code_implementations",
+      meta.groupBy("ABSTRACTIONID", "SYSTEMID", "VARIANTID", "ADAPTERID")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("IngestBench").as("data_set_id"),
+          col("ABSTRACTIONID").as("problem_id"),
+          graft.ingest.ArenaIngest.implementationId(col("SYSTEMID"),
+            col("VARIANTID"), col("ADAPTERID")).as("implementation_id"),
+          concat(lit("class Impl { /* "), col("n").cast("string"),
+            lit(" */ }")).as("source_code"),
+          graft.functions.Fns.gitBlobHash(col("SYSTEMID")).as("code_hash"),
+          current_timestamp().as("created_at"),
+          lit(1).as("lines_of_code"),
+          lit(null).cast("int").as("cyclomatic_complexity"),
+          lit("java").as("language")),
+      graft.schema.Schemas.codeImplementations)
+    lake.append("tests",
+      meta.groupBy("ABSTRACTIONID", "SHEETID").agg(count(lit(1)).as("n"))
+        .select(lit("IngestBench").as("data_set_id"),
+          col("ABSTRACTIONID").as("problem_id"),
+          col("SHEETID").as("test_id"),
+          lit("""{"cells":{}}""").as("source_code"),
+          lit("IFace").as("focal_interface"),
+          graft.functions.Fns.gitBlobHash(col("SHEETID")).as("code_hash"),
+          current_timestamp().as("created_at"),
+          lit("java").as("language")),
+      graft.schema.Schemas.tests)
+  }
+}

@@ -38,6 +38,55 @@ class ScaleOpsSpec extends SparkSpec {
       exact.getAs[Double]("avg_tests_per_problem"))
   }
 
+  test("compaction rewrites each partition into one file, same data") {
+    val wh = tmpDir("whcompact")
+    val lake = new graft.lake.Lakehouse(spark, wh)
+    (1 to 4).foreach { _ =>
+      lake.append("observations", Fixtures.observations,
+        graft.schema.Schemas.observations)
+    }
+    def files = new java.io.File(
+      s"$wh/observations/data_set_id=HumanEval/problem_id=p1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 4)
+    val before = lake.observations.orderBy("implementation_id", "test_id",
+      "step_id", "run_id").collect().map(_.toSeq).toSeq
+    lake.compact("observations", graft.schema.Schemas.observations)
+    assert(files == 1)
+    val after = lake.observations.orderBy("implementation_id", "test_id",
+      "step_id", "run_id").collect().map(_.toSeq).toSeq
+    assert(after == before)
+  }
+
+  test("streaming dedup drops repeated keys within the watermark") {
+    val srcDir = tmpDir("dedup-src")
+    val outDir = tmpDir("dedup-out")
+    val ckDir = tmpDir("dedup-ck")
+    import TestSpark.spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    Seq((1L, ts0, "a"), (1L, ts0, "a"), (2L, ts0, "b"), (1L, ts0, "a"))
+      .toDF("k", "ts", "v").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val deduped = graft.streaming.EventsStreaming.dedupStream(
+      spark.readStream.schema(schema).parquet(srcDir), Seq("k"))
+    val q = deduped.writeStream
+      .option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 2)
+    assert(out.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+
   test("lakehouse SQL DDL: create external table + partition discovery") {
     val wh = tmpDir("whddl")
     val lake = new graft.lake.Lakehouse(spark, wh)
