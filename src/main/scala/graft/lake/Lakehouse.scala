@@ -69,6 +69,20 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     StructType(schema.fields :+ field)
   }
 
+  /** Bucketed catalog table: co-locates rows by hash(bucketCols) at
+    * write time so joins/aggregations on those columns run WITHOUT a
+    * shuffle (plan-verified in LakehouseSpec). The 100 TB play: bucket
+    * `observations` and the dimensions by implementation_id/test_id and
+    * the three-way join never exchanges the fact table. */
+  def writeBucketed(table: String, df: DataFrame, schema: StructType,
+      bucketCols: Seq[String], numBuckets: Int): Unit =
+    align(df, schema)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Small-file compaction (SURVEY §7 "small-file / tiny-partition
     * layout" hazard: many appends × many problems → file explosion):
     * rewrites each partition's files into `filesPerPartition`, preserving

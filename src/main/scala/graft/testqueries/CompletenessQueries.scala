@@ -162,6 +162,59 @@ object CompletenessQueries {
       SELECT doc_id,
         sha256('blob ' || CAST(strlen(t) AS VARCHAR) || chr(0) || t)
           AS code_hash
-      FROM n ORDER BY doc_id"""))
+      FROM n ORDER BY doc_id""")),
+
+    // Range join (events within 5 minutes after each event), via the
+    // bucket decomposition in ops/TemporalJoins — an equi-join on time
+    // buckets, never a nested-loop cross product. The DuckDB oracle uses
+    // its native inequality join.
+    QueryDef("q39_range_join",
+      (s, d) => graft.ops.TemporalJoins
+        .rangeJoin(events(s, d), events(s, d), "ts", 300000000L,
+          "event_id", "event_id")
+        .filter(col("l_id") =!= col("r_id"))
+        .groupBy(col("l_id").as("event_id"))
+        .agg(count(lit(1)).as("n_nearby"))
+        .transform(QueryDef.sorted1(_, col("event_id"))),
+      Some("""SELECT e1.event_id, COUNT(*) AS n_nearby
+        FROM events e1 JOIN events e2
+          ON epoch_us(CAST(e2.ts AS TIMESTAMP))
+               >= epoch_us(CAST(e1.ts AS TIMESTAMP))
+          AND epoch_us(CAST(e2.ts AS TIMESTAMP))
+              - epoch_us(CAST(e1.ts AS TIMESTAMP)) < 300000000
+          AND e2.event_id <> e1.event_id
+        GROUP BY e1.event_id ORDER BY e1.event_id""")),
+
+    // As-of join: each order matched to the user's latest event at or
+    // before the order date (union-window realization — one shuffle on
+    // the key). Oracle mirrors the same window construction.
+    QueryDef("q40_asof_join",
+      (s, d) => {
+        val o = orders(s, d)
+          .select(col("o_orderkey"), (col("o_custkey") % 50).as("user_id"),
+            col("o_orderdate"))
+        graft.ops.TemporalJoins.asOfJoin(
+            o.withColumnRenamed("o_orderdate", "ts"),
+            events(s, d), "user_id", "ts", "o_orderkey", "event_id")
+          .select(col("l_id").as("o_orderkey"),
+            col("matched").as("last_event_id"))
+          .transform(QueryDef.sorted1(_, col("o_orderkey")))
+      },
+      Some("""WITH u AS (
+        SELECT o_custkey % 50 AS k, o_orderdate AS t, 1 AS is_left,
+          CAST(NULL AS BIGINT) AS r_id, o_orderkey AS l_id
+        FROM orders
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP), 0, event_id,
+          CAST(NULL AS BIGINT)
+        FROM events),
+      w AS (
+        SELECT l_id, is_left,
+          last_value(r_id IGNORE NULLS) OVER (PARTITION BY k
+            ORDER BY t, is_left, COALESCE(r_id, l_id)
+            ROWS UNBOUNDED PRECEDING) AS matched
+        FROM u)
+      SELECT l_id AS o_orderkey, matched AS last_event_id
+      FROM w WHERE is_left = 1 ORDER BY o_orderkey"""))
   )
 }
