@@ -50,6 +50,44 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells
+    * around deterministically-chosen centroid vectors (the corpus rows
+    * whose id hashes lowest — a seeding akin to k-means||'s first round,
+    * reproducible with no RNG), then answer queries by probing the
+    * `nProbe` nearest cells only. At 100 TB the cell assignment is a
+    * broadcast-join scan and each query touches nProbe/nCells of the
+    * corpus. Returns (q_id, c_id, sim, rank).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = corpus
+      .withColumn("__h", Fns.portableHash60(col(idCol).cast("string")))
+      .orderBy("__h").limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+    // cell assignment: argmax cosine over the broadcast centroid set
+    def assign(df: DataFrame, id: String, vec: String, keep: Seq[String]) =
+      df.join(broadcast(centroids))
+        .select((keep.map(col) :+ col("cent_id") :+
+          Fns.cosine(col(vec), col("cv")).as("__sim")): _*)
+        .withColumn("__rn", row_number().over(Window.partitionBy(id)
+          .orderBy(desc("__sim"), col("cent_id"))))
+    val cells = assign(corpus, idCol, vecCol,
+      corpus.columns.toSeq).filter(col("__rn") === 1)
+      .drop("__sim", "__rn").withColumnRenamed("cent_id", "cell")
+    val qcells = assign(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")),
+      "q_id", "qv", Seq("q_id", "qv")).filter(col("__rn") <= nProbe)
+      .drop("__sim", "__rn").withColumnRenamed("cent_id", "cell")
+    cells.join(broadcast(qcells), Seq("cell"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("c_id"),
+        Fns.cosine(col("qv"), col(vecCol)).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN top-k: bucket corpus and queries by
     * sign-random-projection, rank within the shared bucket. Trades recall
     * for a corpus-scan-free plan — at 100 TB each query touches one

@@ -38,6 +38,28 @@ object CanonicalQueries {
     srmOutputView(observations, impls)
   }
 
+  /** Chunked pivot for very wide implementation sets (SURVEY §7:
+    * `spark.sql.pivotMaxValues` caps a single pivot at 10k columns and
+    * pivot width is memory-bound): pivot `chunkSize` implementations at
+    * a time and join the chunks on the (test_id, step_id) spine. Chunk
+    * joins are 1:1 on the grouping key, so each is a cheap sort-merge on
+    * an already-aggregated (small) spine. */
+  def srmOutputViewChunked(observations: DataFrame,
+      implValues: Seq[String], chunkSize: Int): DataFrame = {
+    require(chunkSize > 0)
+    val chunks = implValues.grouped(chunkSize).toSeq
+    val pivots = chunks.map { vs =>
+      observations
+        .filter(col("implementation_id").isin(vs: _*))
+        .groupBy(col("test_id"), col("step_id"))
+        .pivot("implementation_id", vs)
+        .agg(min(col("output")))
+    }
+    pivots.reduce((a, b) =>
+        a.join(b, Seq("test_id", "step_id"), "full_outer"))
+      .orderBy("test_id", "step_id")
+  }
+
   /** Per-(impl, test, run) output-trace signature — the inner stage of
     * clustering (`benchmark_behavioral_clustering.py:53-62`). */
   private def traceSig: Column =

@@ -81,6 +81,26 @@ object EventsStreaming {
       }
   }
 
+  /** Watermarked stream-stream interval join: pairs each left event with
+    * right events of the same key within [left.ts, left.ts + window].
+    * Both sides carry watermarks so the join state is bounded — the
+    * streaming analog of TemporalJoins.rangeJoin. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol).as("k"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r, col("k") === col("rk") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window_") &&
+      col("l_id") =!= col("r_id"))
+      .select("k", "l_id", "r_id", "l_ts", "r_ts")
+  }
+
   /** Streaming exact dedup with bounded state: drops rows whose key was
     * already seen within the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — the streaming face of

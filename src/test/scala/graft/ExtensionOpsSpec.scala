@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.queries.CanonicalQueries
+import graft.streaming.EventsStreaming
+
+class ExtensionOpsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("chunked SRM pivot equals the single pivot") {
+    val whole = CanonicalQueries.srmOutputView(Fixtures.observations,
+      Seq("i1", "i2", "i3")).collect().map(_.toSeq).toSeq
+    val chunked = CanonicalQueries.srmOutputViewChunked(
+      Fixtures.observations, Seq("i1", "i2", "i3"), chunkSize = 2)
+    assert(chunked.columns.toSeq ==
+      Seq("test_id", "step_id", "i1", "i2", "i3"))
+    assert(chunked.collect().map(_.toSeq).toSeq == whole)
+  }
+
+  test("ivf topk finds the identical vector through its cell") {
+    val corpus = (0L until 40L).map { i =>
+      val v = Array.tabulate(8)(j =>
+        math.sin(i * 7 + j).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 5L)
+    val out = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 4).orderBy("rank").collect()
+    // with nProbe = nCells (exhaustive probing) the query's own cell is
+    // certainly probed; vec 5's identical... nearest is deterministic
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("c_id") != 5L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq ==
+      (1 to out.length).toSeq)
+  }
+
+  test("streaming interval join pairs events within the window") {
+    val srcDir = tmpDir("ij-src")
+    val outDir = tmpDir("ij-out")
+    val ckDir = tmpDir("ij-ck")
+    def ts(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2026-01-01 10:00:00"), 7L),
+      (2L, ts("2026-01-01 10:02:00"), 7L),
+      (3L, ts("2026-01-01 10:30:00"), 7L),
+      (4L, ts("2026-01-01 10:03:00"), 8L))
+      .toDF("event_id", "ts", "user_id").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    def src = spark.readStream.schema(schema).parquet(srcDir)
+    val joined = EventsStreaming.intervalJoin(src, src, "user_id")
+    assert(joined.isStreaming)
+    val q = joined.writeStream
+      .option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(outDir)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 7: event 2 within 5 min after event 1; event 3 is 30 min out;
+    // user 8's event 4 never joins across users
+    assert(out.contains((1L, 2L)))
+    assert(!out.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(!out.exists(p => p._2 == 4L && p._1 != 4L))
+  }
+}
