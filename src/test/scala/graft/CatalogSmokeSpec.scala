@@ -1,0 +1,33 @@
+package graft
+
+/** Every declared query must run at every driver scale factor — sf0.001
+  * is the driver's t1 smoke scale; a query that implicitly assumes
+  * sf0.01 cardinalities (ids, labels, value ranges) breaks here first.
+  */
+class CatalogSmokeSpec extends SparkSpec {
+
+  test("entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query executes at sf0.001") {
+    val failures = graft.testqueries.Registry.all.flatMap { q =>
+      try { q.run(spark, "/root/testdata/sf0.001").count(); None }
+      catch { case e: Throwable =>
+        Some(q.name + ": " + e.getMessage.take(120)) }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("oracle SQL exists for every query and mentions its tables") {
+    val oracles = SparkEntry.oracleSql
+    assert(oracles.size == graft.testqueries.Registry.all.size)
+    // single-row global aggregates need no ORDER BY
+    val singleRow = Set("q11_two_level_agg")
+    oracles.foreach { case (name, sql) =>
+      assert(sql.toUpperCase.contains("SELECT"), name)
+      assert(singleRow(name) || sql.toUpperCase.contains("ORDER BY"),
+        s"$name lacks ORDER BY")
+    }
+  }
+}
