@@ -88,6 +88,71 @@ object FunctionQueries {
           AS days_since,
         CAST(quarter(o_orderdate) AS INTEGER) AS q,
         epoch_us(o_orderdate) AS us
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    // CUBE grouping sets (all 4 combinations; rollup covered by q34).
+    QueryDef("q44_cube",
+      (s, d) => lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"))
+        .select(col("g_rf"), col("g_ls"),
+          coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"), col("n"))
+        .transform(QueryDef.sorted1(_, col("g_rf"), col("g_ls"),
+          col("rf"), col("ls"))),
+      Some("""SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        COALESCE(l_returnflag, '<all>') AS rf,
+        COALESCE(l_linestatus, '<all>') AS ls, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, rf, ls""")),
+
+    // Multiset semantics: EXCEPT ALL / INTERSECT ALL preserve
+    // duplicate counts (DISTINCT variants covered by q30).
+    QueryDef("q45_set_ops_all",
+      (s, d) => {
+        val a = lineitem(s, d).select(col("l_returnflag").as("f"))
+        val b = lineitem(s, d).filter(col("l_linestatus") === "O")
+          .select(col("l_returnflag").as("f"))
+        a.exceptAll(b).groupBy("f").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+          .unionByName(
+            a.intersectAll(b).groupBy("f").agg(count(lit(1)).as("n"))
+              .withColumn("op", lit("intersect_all")))
+          .orderBy("op", "f")
+      },
+      Some("""WITH a AS (SELECT l_returnflag AS f FROM lineitem),
+        b AS (SELECT l_returnflag AS f FROM lineitem
+              WHERE l_linestatus = 'O')
+      SELECT f, COUNT(*) AS n, 'except_all' AS op
+        FROM (SELECT f FROM a EXCEPT ALL SELECT f FROM b) GROUP BY f
+      UNION ALL
+      SELECT f, COUNT(*) AS n, 'intersect_all' AS op
+        FROM (SELECT f FROM a INTERSECT ALL SELECT f FROM b) GROUP BY f
+      ORDER BY op, f""")),
+
+    // The spark.sql entry path (SURVEY EP1): same engine, SQL text in —
+    // temp views over the parquet tables, a join + agg + order statement.
+    QueryDef("q46_sql_surface",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql("""SELECT o_orderpriority,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+              AS revenue
+          FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+          WHERE l_quantity > 10
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+          AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity > 10
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
