@@ -83,6 +83,21 @@ object Multimodal {
     balanced.mapPartitions(decoder.decode)
   }
 
+  /** Feature "resize": average-pool the per-item feature vector down to
+    * `outBins` (the embedding-downsample step of a media pipeline, e.g.
+    * 16→4 bins). Pure column expression over the typed Dataset. */
+  def poolFeatures(features: Dataset[MediaFeatures],
+      outBins: Int): DataFrame = {
+    val f = features.toDF()
+    val inBins = 16 // MediaFeatures.feature width from the decoder
+    require(inBins % outBins == 0, "outBins must divide the feature width")
+    val k = inBins / outBins
+    f.withColumn("pooled",
+      transform(sequence(lit(0), lit(outBins - 1)), b =>
+        aggregate(slice(col("feature"), b * k + 1, lit(k)),
+          lit(0.0f).cast("double"), (acc, x) => acc + x) / k))
+  }
+
   /** Frame-sampling plan for video rows: explode a deterministic frame
     * index list (every `stride`-th frame) so downstream per-frame work is
     * row-parallel — the shape a real frame extractor plugs into. */

@@ -120,5 +120,13 @@ class OpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(feats, stride = 2)
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx"))
     assert(frames.count() > 0)
+    // resize: 16-bin histogram pooled to 4 bins, mass preserved (x4 avg)
+    val pooled = Multimodal.poolFeatures(feats, 4).collect()
+    pooled.foreach { r =>
+      val orig = r.getAs[scala.collection.Seq[Float]]("feature")
+      val p = r.getAs[scala.collection.Seq[Double]]("pooled")
+      assert(p.length == 4)
+      assert(math.abs(p.sum * 4 - orig.map(_.toDouble).sum) < 1e-6)
+    }
   }
 }

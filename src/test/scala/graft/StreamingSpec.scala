@@ -79,6 +79,70 @@ class StreamingSpec extends SparkSpec {
     assert(out(2).n_events == 1 && out(2).total_value == 8.0)
   }
 
+  test("sessionize state carries across restarts (checkpointed)") {
+    val srcDir = tmpDir("sess-src")
+    val outDir = tmpDir("sess-out")
+    val ckDir = tmpDir("sess-ck")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+        .select(col("user_id"), col("ts"), col("value"))
+      val q = EventsStreaming.sessionize(spark, stream)
+        .writeStream
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", outDir).start()
+      q.awaitTermination(120000)
+    }
+    // batch 1: two events 10 min apart
+    Seq((1L, ts("2026-01-01 09:00:00"), 7L, "click", 1.0),
+      (2L, ts("2026-01-01 09:10:00"), 7L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    // batch 2: one event 10 min after batch 1's last — same session
+    Seq((3L, ts("2026-01-01 09:20:00"), 7L, "view", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val out = spark.read.parquet(outDir).collect()
+    // the second run must have RESTORED the open session from state and
+    // extended it: a session starting 09:00 with 3 events, value 7.0
+    assert(out.exists(r =>
+      r.getAs[Timestamp]("session_start") == ts("2026-01-01 09:00:00") &&
+        r.getAs[Int]("n_events") == 3 &&
+        r.getAs[Double]("total_value") == 7.0),
+      out.mkString("\n"))
+  }
+
+  test("windowed agg drops events later than the watermark") {
+    val srcDir = tmpDir("late-src")
+    val outDir = tmpDir("late-out")
+    val ckDir = tmpDir("late-ck")
+    def run(): Unit = {
+      val q = EventsStreaming.writeWindowed(
+        EventsStreaming.windowedCounts(
+          spark.readStream.schema(schema).parquet(srcDir),
+          "1 hour", "1 hour"), outDir, ckDir)
+      q.awaitTermination(120000)
+    }
+    // batch 1 advances the watermark far past 10:00
+    Seq((1L, ts("2026-01-01 10:30:00"), 7L, "click", 1.0),
+      (2L, ts("2026-01-01 15:00:00"), 7L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    // batch 2: a LATE event for the long-closed 10:00 window
+    Seq((3L, ts("2026-01-01 10:40:00"), 7L, "click", 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val win10 = spark.read.parquet(outDir)
+      .filter(col("win_start") === ts("2026-01-01 10:00:00")).collect()
+    // the late row was dropped: the 10:00 window result (if emitted)
+    // counts only the on-time event
+    assert(win10.forall(_.getAs[Long]("n") == 1), win10.mkString("\n"))
+  }
+
   test("sessionize without open-session emission holds back the tail") {
     val out = EventsStreaming.sessionize(spark, eventsDf, emitOpen = false)
       .collect().sortBy(_.session_start.getTime)
