@@ -26,7 +26,8 @@ object CoreQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           lit("tpch").as("data_set_id"),
           lit(null).cast("string").as("git_commit_hash"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .transform(QueryDef.sorted1(_, col("l_orderkey"),
+          col("l_linenumber"))),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
         'tpch' AS data_set_id, CAST(NULL AS VARCHAR) AS git_commit_hash
         FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
@@ -40,8 +41,9 @@ object CoreQueries {
           col("l_shipdate").isNotNull)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
           "l_linestatus", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
-          "l_returnflag", "l_linestatus", "l_discount"),
+        .transform(QueryDef.sorted1(_, col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_returnflag"),
+          col("l_linestatus"), col("l_discount"))),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
         l_linestatus, l_discount FROM lineitem
         WHERE l_quantity > 30 AND l_returnflag <> 'A'
@@ -63,7 +65,8 @@ object CoreQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("o_orderpriority"), col("c_name"), col("c_mktsegment"),
           col("l_extendedprice"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .transform(QueryDef.sorted1(_, col("l_orderkey"),
+          col("l_linenumber"))),
       Some("""SELECT l_orderkey, l_linenumber, o_orderpriority, c_name,
         c_mktsegment, l_extendedprice
         FROM lineitem
@@ -131,7 +134,7 @@ object CoreQueries {
             .as("max_return_price"),
           max(col("l_returnflag") === "R").as("has_return"),
           min(col("l_shipdate")).as("first_ship"))
-        .orderBy("l_orderkey"),
+        .transform(QueryDef.sorted1(_, col("l_orderkey"))),
       Some("""SELECT l_orderkey,
         max(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
           AS max_return_price,

@@ -1,6 +1,7 @@
 package graft.testqueries
 
 import org.apache.spark.sql.functions._
+import graft.functions.Fns
 
 /** Scalar-function surface breadth: string, math, and date/time families
   * beyond the reference's X1-X9 set (engine completeness). Only
@@ -153,6 +154,56 @@ object FunctionQueries {
           AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_quantity > 10
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Exact interpolated percentiles (Spark percentile == DuckDB
+    // quantile_cont, both R-7; l_quantity is integral so the
+    // interpolation arithmetic is FP-exact).
+    QueryDef("q47_percentiles",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25D)").as("p25"),
+          expr("percentile(l_quantity, 0.5D)").as("p50"),
+          expr("percentile(l_quantity, 0.75D)").as("p75"),
+          expr("percentile(l_quantity, 0.99D)").as("p99"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.75) AS p75,
+        quantile_cont(l_quantity, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Term frequencies: generator (explode) + per-doc word counts — the
+    // TF half of a TF-IDF pipeline.
+    QueryDef("q48_term_frequencies",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          explode(Fns.words(col("text"))).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("tf"))
+        .transform(QueryDef.sorted1(_, col("doc_id"), col("w"))),
+      Some("""SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id,
+          unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents)
+        GROUP BY doc_id, w ORDER BY doc_id, w""")),
+
+    // Corpus vocabulary stats: total term count + document frequency,
+    // top-20 (the DF half; count-distinct over an exploded generator).
+    QueryDef("q49_vocabulary_stats",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          explode(Fns.words(col("text"))).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(desc("n"), col("w"))
+        .limit(20),
+      Some("""SELECT w, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id,
+          unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents)
+        GROUP BY w ORDER BY n DESC, w LIMIT 20"""))
   )
 }
