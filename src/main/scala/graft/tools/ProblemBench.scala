@@ -25,20 +25,28 @@ object ProblemBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // build the lakehouse once (same synthesis as IngestBench)
+    // build the lakehouse once (same synthesis as IngestBench). With
+    // SPARK_GRAFT_PB_COPIES=N the observations table is written N times
+    // under distinct data_set_ids: the TABLE grows N×, each pruned
+    // (data_set_id, problem_id) partition stays the same size — so
+    // constant per-problem latency across N is direct evidence that
+    // partition pruning makes the latency size-independent.
+    val copies = sys.env.getOrElse("SPARK_GRAFT_PB_COPIES", "1").toInt
     val wh = java.nio.file.Files.createTempDirectory("pb-wh").toString
-    buildLakehouse(spark, wh)
+    (1 to copies).foreach(i => buildLakehouse(spark, wh, s"IngestBench$i"))
     val lake = new graft.lake.Lakehouse(spark, wh)
+    println(s"PROBLEM_BENCH table_rows=${lake.observations.count()} " +
+      s"(copies=$copies)")
     val problems = (0 until 20).map(i => s"p$i")
 
     def obs(p: String) =
-      lake.observations.filter(col("data_set_id") === "IngestBench" &&
+      lake.observations.filter(col("data_set_id") === "IngestBench1" &&
         col("problem_id") === p)
     def code(p: String) =
-      lake.codeImplementations.filter(col("data_set_id") === "IngestBench"
+      lake.codeImplementations.filter(col("data_set_id") === "IngestBench1"
         && col("problem_id") === p)
     def tsts(p: String) =
-      lake.tests.filter(col("data_set_id") === "IngestBench" &&
+      lake.tests.filter(col("data_set_id") === "IngestBench1" &&
         col("problem_id") === p)
 
     def bench(name: String, q: String => DataFrame): Unit = {
@@ -66,7 +74,8 @@ object ProblemBench {
   }
 
   /** Synthesize arena cells from lineitem and ingest all three tables. */
-  def buildLakehouse(spark: SparkSession, wh: String): Unit = {
+  def buildLakehouse(spark: SparkSession, wh: String,
+      dataSetId: String = "IngestBench1"): Unit = {
     val lake = new graft.lake.Lakehouse(spark, wh)
     val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
     val base = li.select(
@@ -92,7 +101,7 @@ object ProblemBench {
         3, 'value', CAST(l_extendedprice AS STRING),
           CAST(l_quantity AS DOUBLE)) AS (X, TYPE, VALUE, EXECUTIONTIME)""")
     lake.append("observations",
-      graft.ingest.ArenaIngest.observationsFromArena(cells, "IngestBench"),
+      graft.ingest.ArenaIngest.observationsFromArena(cells, dataSetId),
       graft.schema.Schemas.observations,
       sortCols = Seq("implementation_id", "test_id", "step_id"))
     // dimensions: one code row per impl, one test row per sheet
@@ -100,7 +109,7 @@ object ProblemBench {
     lake.append("code_implementations",
       meta.groupBy("ABSTRACTIONID", "SYSTEMID", "VARIANTID", "ADAPTERID")
         .agg(count(lit(1)).as("n"))
-        .select(lit("IngestBench").as("data_set_id"),
+        .select(lit(dataSetId).as("data_set_id"),
           col("ABSTRACTIONID").as("problem_id"),
           graft.ingest.ArenaIngest.implementationId(col("SYSTEMID"),
             col("VARIANTID"), col("ADAPTERID")).as("implementation_id"),
@@ -114,7 +123,7 @@ object ProblemBench {
       graft.schema.Schemas.codeImplementations)
     lake.append("tests",
       meta.groupBy("ABSTRACTIONID", "SHEETID").agg(count(lit(1)).as("n"))
-        .select(lit("IngestBench").as("data_set_id"),
+        .select(lit(dataSetId).as("data_set_id"),
           col("ABSTRACTIONID").as("problem_id"),
           col("SHEETID").as("test_id"),
           lit("""{"cells":{}}""").as("source_code"),
