@@ -91,6 +91,35 @@ object CanonicalQueries {
   def consensusOracle(observations: DataFrame): DataFrame =
     behavioralClustering(observations).limit(1)
 
+  /** Consensus verdicts: score every implementation per test against the
+    * consensus (majority) behavior — the SRC analysis the clustering
+    * feeds (reference notebook cell 4: the largest cluster "acts as a
+    * consensus oracle"). A (impl, test) passes if its output trace
+    * matches the most common trace signature for that test; ties break
+    * to the lexicographically smallest signature. Returns per-impl
+    * (implementation_id, n_tests, n_agree, agreement_ratio). */
+  def consensusVerdicts(observations: DataFrame): DataFrame = {
+    val sigs = observations
+      .groupBy(col("implementation_id"), col("test_id"), col("run_id"))
+      .agg(traceSig.as("sig"))
+    val consensus = sigs
+      .groupBy("test_id", "sig")
+      .agg(countDistinct(col("implementation_id")).as("votes"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("test_id")
+          .orderBy(desc("votes"), col("sig"))))
+      .filter(col("rk") === 1)
+      .select(col("test_id"), col("sig").as("consensus_sig"))
+    sigs.join(broadcast(consensus), Seq("test_id"))
+      .withColumn("agree", (col("sig") === col("consensus_sig")).cast("int"))
+      .groupBy("implementation_id")
+      .agg(countDistinct(col("test_id")).as("n_tests"),
+        sum(col("agree")).as("n_agree"),
+        (sum(col("agree")).cast("double") /
+          countDistinct(col("test_id"))).as("agreement_ratio"))
+      .orderBy(desc("agreement_ratio"), col("implementation_id"))
+  }
+
   /** Q3 — three-way join (`benchmark_three_way_join.py:53-74`):
     * observations ⋈ code_implementations ⋈ tests on composite keys;
     * reattaches source code to every observation row. Dimensions

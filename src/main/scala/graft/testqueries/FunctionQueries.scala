@@ -204,6 +204,58 @@ object FunctionQueries {
         FROM (SELECT doc_id,
           unnest(string_split_regex(trim(text), '\s+')) AS w
           FROM documents)
-        GROUP BY w ORDER BY n DESC, w LIMIT 20"""))
+        GROUP BY w ORDER BY n DESC, w LIMIT 20""")),
+
+    // Consensus verdicts (CanonicalQueries.consensusVerdicts shape on
+    // the lineitem analog): majority trace per order = consensus;
+    // each supplier scored by agreement ratio.
+    QueryDef("q50_consensus_verdicts",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val s1 = lineitem(s, d)
+          .groupBy("l_suppkey", "l_orderkey")
+          .agg(md5(to_json(Fns.orderedCollect(col("l_linenumber"),
+            col("l_returnflag")))).as("sig"))
+        val votes = s1.groupBy("l_orderkey", "sig")
+          .agg(countDistinct(col("l_suppkey")).as("votes"))
+        val consensus = votes
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("l_orderkey")
+              .orderBy(desc("votes"), col("sig"))))
+          .filter(col("rk") === 1)
+          .select(col("l_orderkey"), col("sig").as("consensus_sig"))
+        s1.join(consensus, Seq("l_orderkey"))
+          .groupBy(col("l_suppkey").as("implementation"))
+          .agg(countDistinct(col("l_orderkey")).as("n_tests"),
+            sum((col("sig") === col("consensus_sig")).cast("int"))
+              .as("n_agree"),
+            (sum((col("sig") === col("consensus_sig")).cast("int"))
+              .cast("double") / countDistinct(col("l_orderkey")))
+              .as("agreement_ratio"))
+          .transform(QueryDef.sorted1(_, desc("agreement_ratio"),
+            col("implementation")))
+      },
+      Some("""WITH s1 AS (
+        SELECT l_suppkey, l_orderkey,
+          md5(CAST(to_json(list(l_returnflag
+            ORDER BY l_linenumber, l_returnflag)) AS VARCHAR)) AS sig
+        FROM lineitem GROUP BY l_suppkey, l_orderkey),
+      v AS (
+        SELECT l_orderkey, sig, COUNT(DISTINCT l_suppkey) AS votes
+        FROM s1 GROUP BY l_orderkey, sig),
+      c AS (
+        SELECT l_orderkey, sig AS consensus_sig FROM (
+          SELECT *, row_number() OVER (PARTITION BY l_orderkey
+            ORDER BY votes DESC, sig) AS rk FROM v)
+        WHERE rk = 1)
+      SELECT s1.l_suppkey AS implementation,
+        COUNT(DISTINCT s1.l_orderkey) AS n_tests,
+        CAST(SUM(CASE WHEN s1.sig = c.consensus_sig THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_agree,
+        CAST(SUM(CASE WHEN s1.sig = c.consensus_sig THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(DISTINCT s1.l_orderkey) AS agreement_ratio
+      FROM s1 JOIN c USING (l_orderkey)
+      GROUP BY s1.l_suppkey
+      ORDER BY agreement_ratio DESC, implementation"""))
   )
 }

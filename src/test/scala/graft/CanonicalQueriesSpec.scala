@@ -39,6 +39,17 @@ class CanonicalQueriesSpec extends SparkSpec {
     assert(m.columns.toSeq == Seq("test_id", "step_id", "i1", "i2", "i3"))
   }
 
+  test("consensus verdicts score impls against majority behavior") {
+    val v = CanonicalQueries.consensusVerdicts(Fixtures.observations)
+      .collect()
+    val byImpl = v.map(r => r.getAs[String]("implementation_id") ->
+      r.getAs[Double]("agreement_ratio")).toMap
+    // i1/i2 define the consensus (2 votes); i3 diverges on t2 only
+    assert(byImpl("i1") == 1.0 && byImpl("i2") == 1.0)
+    assert(byImpl("i3") == 0.5)
+    assert(v.head.getAs[String]("implementation_id") == "i1")
+  }
+
   test("three-way join reattaches code and test source to each row") {
     val j = CanonicalQueries.threeWayJoin(Fixtures.observations,
       Fixtures.code, Fixtures.tests)
