@@ -224,7 +224,7 @@ object FunctionQueries {
               .orderBy(desc("votes"), col("sig"))))
           .filter(col("rk") === 1)
           .select(col("l_orderkey"), col("sig").as("consensus_sig"))
-        s1.join(consensus, Seq("l_orderkey"))
+        s1.join(broadcast(consensus), Seq("l_orderkey"))
           .groupBy(col("l_suppkey").as("implementation"))
           .agg(countDistinct(col("l_orderkey")).as("n_tests"),
             sum((col("sig") === col("consensus_sig")).cast("int"))
