@@ -256,6 +256,49 @@ object FunctionQueries {
           AS DOUBLE) / COUNT(DISTINCT s1.l_orderkey) AS agreement_ratio
       FROM s1 JOIN c USING (l_orderkey)
       GROUP BY s1.l_suppkey
-      ORDER BY agreement_ratio DESC, implementation"""))
+      ORDER BY agreement_ratio DESC, implementation""")),
+
+    // Array function family: construction, sorted dedup, membership,
+    // slicing, set ops — results canonicalized by sorting on both sides
+    // (engines differ on set-op output order).
+    QueryDef("q51_array_funcs",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_returnflag"))).as("flags"),
+          sort_array(collect_set(col("l_linestatus"))).as("statuses"))
+        .select(col("l_orderkey"),
+          size(col("flags")).as("n"),
+          array_contains(col("flags"), "R").as("has_r"),
+          array_distinct(col("flags")).as("distinct_flags"),
+          slice(col("flags"), 1, 2).as("first2"),
+          array_join(array_sort(array_union(col("flags"),
+            col("statuses"))), ",").as("merged"))
+        .transform(QueryDef.sorted1(_, col("l_orderkey"))),
+      Some("""WITH a AS (
+        SELECT l_orderkey,
+          list_sort(list(l_returnflag)) AS flags,
+          list_sort(list(DISTINCT l_linestatus)) AS statuses
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT l_orderkey,
+        len(flags) AS n,
+        list_contains(flags, 'R') AS has_r,
+        list_sort(list_distinct(flags)) AS distinct_flags,
+        flags[1:2] AS first2,
+        list_aggregate(list_sort(list_distinct(
+          list_concat(flags, statuses))), 'string_agg', ',') AS merged
+      FROM a ORDER BY l_orderkey""")),
+
+    // Struct construction + canonical JSON serialization.
+    QueryDef("q52_struct_funcs",
+      (s, d) => supplier(s, d).select(
+        col("s_suppkey"),
+        to_json(struct(col("s_name").as("name"),
+          col("s_nationkey").as("nation"),
+          col("s_acctbal").as("bal"))).as("doc"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey,
+        CAST(to_json(struct_pack(name := s_name, nation := s_nationkey,
+          bal := s_acctbal)) AS VARCHAR) AS doc
+        FROM supplier ORDER BY s_suppkey"""))
   )
 }

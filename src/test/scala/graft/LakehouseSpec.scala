@@ -61,6 +61,20 @@ class LakehouseSpec extends SparkSpec {
     assert(all.filter(col("study_tag") === "s1").count() == 12)
   }
 
+  test("CSV sink round-trips benchmark-style results (S7)") {
+    val dir = tmpDir("csv")
+    val results = Fixtures.observations
+      .groupBy("implementation_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    results.write.option("header", "true").mode("overwrite")
+      .csv(s"$dir/out")
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/out")
+    assert(back.count() == 3)
+    assert(back.columns.toSeq == Seq("implementation_id", "n"))
+  }
+
   test("lazy SQL API over the lakehouse tables") {
     val wh = tmpDir("wh")
     val lake = new Lakehouse(spark, wh)
