@@ -18,6 +18,14 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Materialized exact dedup: the corpus with only the keep-first row
+    * of each content group (the "write the deduped dataset" half). */
+  def dropDuplicatesByContent(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.join(
+      exact(docs, idCol, textCol)
+        .select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+
   /** Distinct word-n-gram shingles: (id, s). Built from arrays_zip of
     * shifted slices + explode — no lambda higher-order functions, which
     * are evaluated interpreted and dominated the profile; this shape
@@ -99,15 +107,29 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over shared-shingle candidate pairs, filtered
-    * at `threshold`. Returns (a_id, b_id, inter, jaccard). */
+    * at `threshold`. Returns (a_id, b_id, inter, jaccard).
+    *
+    * `maxDf` caps shingle document frequency before the pair join: an
+    * ultra-common shingle (a stop-phrase appearing in df documents)
+    * contributes df² candidate pairs — the quadratic blowup that kills
+    * shared-shingle joins on web-scale corpora. Dropping those shingles
+    * bounds per-key fan-out; sizes |A|,|B| are computed on the SAME
+    * capped sets so the Jaccard stays internally consistent. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame = {
+      threshold: Double, shingleN: Int = 3,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     // join on the 60-bit shingle hash, not the string: fixed-width join
     // keys sort/compare far faster through the shuffle; a false pair
     // needs an md5-60bit collision among the distinct shingles
     // (~n²/2^61 — negligible even at 100 TB corpus scale)
-    val sh = shingles(docs, idCol, textCol, shingleN)
+    val shAll = shingles(docs, idCol, textCol, shingleN)
       .select(col("id"), Fns.portableHash60(col("s")).as("s"))
+    val sh =
+      if (maxDf == Long.MaxValue) shAll
+      else shAll.withColumn("__df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("s")))
+        .filter(col("__df") <= maxDf).drop("__df")
     val sz = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))

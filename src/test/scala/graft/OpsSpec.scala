@@ -52,6 +52,24 @@ class OpsSpec extends SparkSpec {
       p13.getAs[Double]("jaccard") < 1.0)
   }
 
+  test("dropDuplicatesByContent keeps exactly the first of each group") {
+    val out = Dedup.dropDuplicatesByContent(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("ngramJaccard maxDf cap drops hot shingles symmetrically") {
+    // with a generous cap nothing changes
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 0.3,
+      maxDf = 1000).orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+    val plain = Dedup.ngramJaccard(docs, "doc_id", "text", 0.3)
+      .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+    assert(capped == plain)
+    // with maxDf=1 every shared shingle is dropped -> no pairs at all
+    assert(Dedup.ngramJaccard(docs, "doc_id", "text", 0.0, maxDf = 1)
+      .count() == 0)
+  }
+
   test("embedding near-dup within blocks") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0.01f, 0f), 0),
