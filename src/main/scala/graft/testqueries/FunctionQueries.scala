@@ -212,26 +212,32 @@ object FunctionQueries {
     QueryDef("q50_consensus_verdicts",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val s1 = lineitem(s, d)
+        // one pass over the signature aggregation: carry the supplier
+        // set on each (order, sig) vote row so the verdict explode
+        // doesn't recompute the 580k-row base (a naive two-branch DAG
+        // runs it twice)
+        val votes = lineitem(s, d)
           .groupBy("l_suppkey", "l_orderkey")
           .agg(md5(to_json(Fns.orderedCollect(col("l_linenumber"),
             col("l_returnflag")))).as("sig"))
-        val votes = s1.groupBy("l_orderkey", "sig")
-          .agg(countDistinct(col("l_suppkey")).as("votes"))
-        val consensus = votes
-          .withColumn("rk", row_number().over(
+          .groupBy("l_orderkey", "sig")
+          .agg(collect_set(col("l_suppkey")).as("supps"))
+          .withColumn("votes", size(col("supps")))
+        val withConsensus = votes
+          .withColumn("consensus_sig", first(col("sig")).over(
             Window.partitionBy("l_orderkey")
-              .orderBy(desc("votes"), col("sig"))))
-          .filter(col("rk") === 1)
-          .select(col("l_orderkey"), col("sig").as("consensus_sig"))
-        s1.join(broadcast(consensus), Seq("l_orderkey"))
-          .groupBy(col("l_suppkey").as("implementation"))
+              .orderBy(desc("votes"), col("sig"))
+              .rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+        withConsensus
+          .select(col("l_orderkey"),
+            (col("sig") === col("consensus_sig")).cast("int").as("agree"),
+            explode(col("supps")).as("implementation"))
+          .groupBy("implementation")
           .agg(countDistinct(col("l_orderkey")).as("n_tests"),
-            sum((col("sig") === col("consensus_sig")).cast("int"))
-              .as("n_agree"),
-            (sum((col("sig") === col("consensus_sig")).cast("int"))
-              .cast("double") / countDistinct(col("l_orderkey")))
-              .as("agreement_ratio"))
+            sum(col("agree")).as("n_agree"),
+            (sum(col("agree")).cast("double") /
+              countDistinct(col("l_orderkey"))).as("agreement_ratio"))
           .transform(QueryDef.sorted1(_, desc("agreement_ratio"),
             col("implementation")))
       },
