@@ -99,19 +99,25 @@ object CanonicalQueries {
     * to the lexicographically smallest signature. Returns per-impl
     * (implementation_id, n_tests, n_agree, agreement_ratio). */
   def consensusVerdicts(observations: DataFrame): DataFrame = {
-    val sigs = observations
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("test_id")
+      .orderBy(desc("votes"), col("sig"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // single pass: each (test, sig) vote row carries its implementation
+    // set; the consensus is the ordered-window head — a two-branch
+    // consensus join would recompute the signature aggregation
+    observations
       .groupBy(col("implementation_id"), col("test_id"), col("run_id"))
       .agg(traceSig.as("sig"))
-    val consensus = sigs
       .groupBy("test_id", "sig")
-      .agg(countDistinct(col("implementation_id")).as("votes"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("test_id")
-          .orderBy(desc("votes"), col("sig"))))
-      .filter(col("rk") === 1)
-      .select(col("test_id"), col("sig").as("consensus_sig"))
-    sigs.join(broadcast(consensus), Seq("test_id"))
-      .withColumn("agree", (col("sig") === col("consensus_sig")).cast("int"))
+      .agg(collect_set(col("implementation_id")).as("impls"))
+      .withColumn("votes", size(col("impls")))
+      .withColumn("consensus_sig", first(col("sig")).over(w))
+      .select(col("test_id"),
+        (col("sig") === col("consensus_sig")).cast("int").as("agree"),
+        explode(col("impls")).as("implementation_id"))
       .groupBy("implementation_id")
       .agg(countDistinct(col("test_id")).as("n_tests"),
         sum(col("agree")).as("n_agree"),
