@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.TemporalJoins
+
+class TemporalJoinsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("rangeJoin finds exactly the in-window pairs (bucket edges)") {
+    // window = 60s; pairs straddling a bucket boundary must be found
+    val l = Seq((1L, ts("2026-01-01 10:00:30")),
+      (2L, ts("2026-01-01 10:02:00"))).toDF("id", "ts")
+    val r = Seq((10L, ts("2026-01-01 10:00:59")), // in l1's window
+      (11L, ts("2026-01-01 10:01:25")),           // in l1's window, next bucket
+      (12L, ts("2026-01-01 10:01:31")),           // 61s after l1 -> out
+      (13L, ts("2026-01-01 10:02:00"))            // == l2.ts -> in (inclusive)
+    ).toDF("id", "ts")
+    val out = TemporalJoins.rangeJoin(l, r, "ts", 60000000L, "id", "id")
+      .select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (1L, 11L), (2L, 13L)))
+  }
+
+  test("asOfJoin picks the latest prior row; none -> null match") {
+    val left = Seq((100L, 7L, ts("2026-01-01 12:00:00")),
+      (101L, 7L, ts("2026-01-01 09:00:00")),
+      (102L, 8L, ts("2026-01-01 12:00:00"))).toDF("oid", "k", "ts")
+    val right = Seq((1L, 7L, ts("2026-01-01 10:00:00")),
+      (2L, 7L, ts("2026-01-01 11:30:00")),
+      (3L, 9L, ts("2026-01-01 08:00:00"))).toDF("eid", "k", "ts")
+    val out = TemporalJoins.asOfJoin(left, right, "k", "ts", "oid", "eid")
+      .collect().map(r => r.getAs[Long]("l_id") ->
+        Option(r.getAs[java.lang.Long]("matched"))).toMap
+    assert(out(100L).contains(2L))  // latest of the two prior events
+    assert(out(101L).isEmpty)       // nothing at or before 09:00
+    assert(out(102L).isEmpty)       // key 8 has no right rows
+  }
+
+  test("asOfJoin ties on ts resolve to the largest right id") {
+    val left = Seq((100L, 7L, ts("2026-01-01 10:00:00"))).toDF("oid", "k", "ts")
+    val right = Seq((1L, 7L, ts("2026-01-01 10:00:00")),
+      (2L, 7L, ts("2026-01-01 10:00:00"))).toDF("eid", "k", "ts")
+    val m = TemporalJoins.asOfJoin(left, right, "k", "ts", "oid", "eid")
+      .collect().head.getAs[Long]("matched")
+    assert(m == 2L) // equal ts counts (<=); deterministic max id wins
+  }
+}
