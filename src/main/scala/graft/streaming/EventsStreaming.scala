@@ -81,6 +81,33 @@ object EventsStreaming {
       }
   }
 
+  /** Streaming arena ingestion — the reference's "real-world CI
+    * ingestion ... under development" (`README.md:163`), realized: a
+    * file stream of raw arena cell exports is regrouped into observation
+    * rows per micro-batch (the same EP2 plan as batch ingest) and
+    * appended to the partitioned lakehouse, checkpointed and
+    * restart-incremental.
+    *
+    * Batch-boundary note: the regroup is per micro-batch, so one
+    * sequence-sheet step's cells must arrive in one file — which is how
+    * arena exports are written (file-atomic per execution).
+    */
+  def streamArenaIngest(spark: SparkSession, cellsDir: String,
+      cellSchema: org.apache.spark.sql.types.StructType,
+      lake: graft.lake.Lakehouse, dataSetId: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(cellSchema).parquet(cellsDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        lake.append("observations",
+          graft.ingest.ArenaIngest.observationsFromArena(batch, dataSetId),
+          graft.schema.Schemas.observations,
+          sortCols = Seq("implementation_id", "test_id", "step_id"))
+      }
+      .start()
+
   /** Watermarked stream-stream interval join: pairs each left event with
     * right events of the same key within [left.ts, left.ts + window].
     * Both sides carry watermarks so the join state is bounded — the

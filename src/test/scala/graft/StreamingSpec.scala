@@ -143,6 +143,38 @@ class StreamingSpec extends SparkSpec {
     assert(win10.forall(_.getAs[Long]("n") == 1), win10.mkString("\n"))
   }
 
+  test("streaming arena ingestion appends observations incrementally") {
+    val srcDir = tmpDir("arena-stream-src")
+    val ckDir = tmpDir("arena-stream-ck")
+    val wh = tmpDir("arena-stream-wh")
+    val lake = new graft.lake.Lakehouse(spark, wh)
+    val cellSchema = Fixtures.rawArena.schema
+    def run(): Unit = {
+      val q = EventsStreaming.streamArenaIngest(spark, srcDir, cellSchema,
+        lake, "CI", ckDir)
+      q.awaitTermination(120000)
+    }
+    // CI drop 1: the fixture export (3 observation rows after regroup)
+    Fixtures.rawArena.coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    assert(lake.observations.count() == 3)
+    // CI drop 2: a second problem's export arrives later
+    Fixtures.rawArena
+      .withColumn("ABSTRACTIONID", org.apache.spark.sql.functions.lit("p2"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    assert(lake.observations.count() == 6)
+    // partition layout materialized per problem, queryable immediately
+    assert(new java.io.File(
+      s"$wh/observations/data_set_id=CI/problem_id=p2").exists())
+    assert(lake.observations
+      .filter(org.apache.spark.sql.functions.col("problem_id") === "p2")
+      .count() == 3)
+    // a third run with NO new files is a no-op (checkpoint)
+    run()
+    assert(lake.observations.count() == 6)
+  }
+
   test("sessionize without open-session emission holds back the tail") {
     val out = EventsStreaming.sessionize(spark, eventsDf, emitOpen = false)
       .collect().sortBy(_.session_start.getTime)
