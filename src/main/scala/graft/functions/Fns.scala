@@ -67,27 +67,40 @@ object Fns {
       sep)
 
   /** Git-blob-style content normalization (reference `arena.py:11-28`):
-    * CRLF -> LF, strip trailing whitespace on each line, strip trailing
-    * blank lines. Pure regexp chain; DuckDB equivalent uses the same
-    * patterns with the 'g' flag.
+    * CRLF and lone CR -> LF (Python's two-step replace), strip trailing
+    * whitespace on each line (Python `rstrip()` — space/tab/VT/FF once
+    * CRs are gone), strip trailing blank lines. Pure regexp chain;
+    * DuckDB equivalent uses the same patterns with the 'g' flag.
     */
   def normalizeSource(c: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(c, "\r\n", "\n"),
-        "(?m)[ \t]+$", ""),
+        regexp_replace(c, "\r\n?", "\n"),
+        "(?m)[ \t\\x0B\f]+$", ""),
       "\n+$", "")
 
   /** Git-blob-style content hash (reference `arena.py:31-45`) with SHA-256
     * in place of SHA-1 (DuckDB 1.0 ships sha256 but not sha1; the semantic
     * — header `blob <bytelen>\0` + normalized body — is preserved).
     * Byte length (octet_length), not char length, so multibyte text hashes
-    * like git would hash the UTF-8 blob.
+    * like git would hash the UTF-8 blob. For hashes interchangeable with
+    * git itself use [[gitBlobHashSha1]] (oracle-exempt).
     */
   def gitBlobHash(c: Column): Column = {
     val n = normalizeSource(c)
     sha2(concat(lit("blob "), octet_length(n).cast("string"),
       lit("\u0000"), n), 256)
+  }
+
+  /** True-SHA-1 git-blob hash: bit-for-bit what `git hash-object` emits
+    * for the normalized content — the reference's dedup keys are real git
+    * blob SHA-1s (`arena.py:31-45`), so this is the interop path. Not
+    * oracle-checkable (DuckDB 1.0 lacks sha1); spec-verified against
+    * `git hash-object` vectors instead. */
+  def gitBlobHashSha1(c: Column): Column = {
+    val n = normalizeSource(c)
+    sha1(concat(lit("blob "), octet_length(n).cast("string"),
+      lit("\u0000"), n))
   }
 
   /** Exact decimal sum surfaced as a double: aggregation is exact (decimal),

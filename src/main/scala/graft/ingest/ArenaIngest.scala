@@ -28,24 +28,33 @@ object ArenaIngest {
 
   /** Cell-level rows → one observation row per sequence-sheet step
     * (`arena.py:58-149`). `dataSetId` is injected as a literal, as the
-    * reference does. */
+    * reference does. Oracle rows are excluded at ingest
+    * (`arena.py:103`: `WHERE Y > -1 AND SYSTEMID != 'oracle'`), so the
+    * fact table never contains oracle implementations; the
+    * `specified_oracle` column is still computed (constant false after
+    * the filter), matching the reference's output schema exactly. */
   def observationsFromArena(raw: DataFrame, dataSetId: String): DataFrame = {
-    val cells = raw.filter(col("Y") > -1)           // drop sheet metadata
+    // drop sheet metadata and oracle rows (arena.py:101-103)
+    val cells = raw.filter(col("Y") > -1 && col("SYSTEMID") =!= "oracle")
     cells
       .groupBy(
         col("EXECUTIONID"), col("ABSTRACTIONID"), col("SYSTEMID"),
         col("VARIANTID"), col("ADAPTERID"), col("SHEETID"), col("ARENAID"),
         col("Y"))
       .agg(
-        // ordered, filtered string concat of the step's input cells in
-        // spreadsheet-column order (arena.py:83-90)
+        // ordered, filtered string concat of the step's input/output
+        // cells in spreadsheet-column order (arena.py:83-90) — outputs
+        // use the same ordered STRING_AGG as inputs, so a step with
+        // multiple 'value' cells concatenates them like the reference
         nullif(Fns.orderedStringAgg(col("X"),
           when(col("TYPE") === "input_value", col("VALUE")), ","), lit(""))
           .as("inputs"),
+        nullif(Fns.orderedStringAgg(col("X"),
+          when(col("TYPE") === "value", col("VALUE")), ","), lit(""))
+          .as("output"),
         // conditional MAX pulls tagged attributes out of the long rows
         // (arena.py:91-93)
         max(when(col("TYPE") === "op", col("VALUE"))).as("operation"),
-        max(when(col("TYPE") === "value", col("VALUE"))).as("output"),
         max(col("EXECUTIONTIME")).cast("double").as("execution_time_ms"),
         max(col("SYSTEMID") === "oracle").as("specified_oracle"))
       .select(
@@ -78,7 +87,7 @@ object ArenaIngest {
     * content-hashed with the git-blob hash (`arena.py:201-217`). */
   def codeFromArena(raw: DataFrame, dataSetId: String): DataFrame =
     raw.filter(col("Y") === -1 && col("SYSTEMID") =!= "oracle" &&
-        col("TYPE") === "interface")
+        col("SYSTEMID") =!= "abstraction" && col("TYPE") === "interface")
       .groupBy(col("ABSTRACTIONID"), col("SYSTEMID"), col("VARIANTID"),
         col("ADAPTERID"))
       .agg(max(col("VALUE")).as("source_code"))
@@ -96,24 +105,67 @@ object ArenaIngest {
         lit(null).cast("int").as("cyclomatic_complexity"),
         lit("java").as("language"))
 
-  /** Solr-export JSON → code rows (`arena.py:245-333`): multiline JSON
-    * document with `response.docs[]`; list-wrapped scalar fields are
-    * unwrapped with element_at (X9). */
-  def codeFromSolrJson(spark: SparkSession, path: String,
-      dataSetId: String): DataFrame =
-    spark.read.option("multiLine", "true").json(path)
-      .select(explode(col("response.docs")).as("doc"))
+  /** Test specifications (actuation sheets) from the same export's
+    * metadata rows (`arena.py:151-231` `ingest_tests`): `Y = -1` rows of
+    * the `abstraction` pseudo-system carry the sequence-sheet JSON
+    * (`TYPE = 'stimulussheet'`) and the focal interface
+    * (`TYPE = 'interface'`); grouped conditional MAX per
+    * `(EXECUTIONID, ABSTRACTIONID, SHEETID)`, git-blob content hash,
+    * rows with no sheet source dropped (`arena.py:186-187`). */
+  def testsFromArena(raw: DataFrame, dataSetId: String): DataFrame =
+    raw.filter(col("Y") === -1 && col("SYSTEMID") === "abstraction" &&
+        (col("TYPE") === "stimulussheet" || col("TYPE") === "interface"))
+      .groupBy(col("EXECUTIONID"), col("ABSTRACTIONID"), col("SHEETID"))
+      .agg(
+        max(when(col("TYPE") === "stimulussheet", col("VALUE")))
+          .as("source_code"),
+        max(when(col("TYPE") === "interface", col("VALUE")))
+          .as("focal_interface"))
+      .filter(col("source_code").isNotNull)
       .select(
         lit(dataSetId).as("data_set_id"),
-        element_at(col("doc.abstractionId"), 1).as("problem_id"),
-        col("doc.id").as("implementation_id"),
-        element_at(col("doc.sourceCode"), 1).as("source_code"),
-        Fns.gitBlobHash(element_at(col("doc.sourceCode"), 1))
-          .as("code_hash"),
+        col("ABSTRACTIONID").as("problem_id"),
+        col("SHEETID").as("test_id"),
+        col("source_code"),
+        col("focal_interface"),
+        Fns.gitBlobHash(col("source_code")).as("code_hash"),
         current_timestamp().as("created_at"),
-        element_at(col("doc.m_static_loc_td"), 1).cast("int")
-          .as("lines_of_code"),
-        lit(null).cast("int").as("cyclomatic_complexity"),
         lit("java").as("language"))
+
+  /** Solr-export JSON → code rows (`arena.py:245-333`): multiline JSON
+    * document with `response.docs[]`; list-wrapped scalar fields are
+    * unwrapped with element_at (X9). Field mapping follows
+    * `_transform_code_unit` (`arena.py:271-287`): implementation_id is
+    * `{doc.id}_original_0` (the `{system}_{variant}_{adapter}` key
+    * convention, so Solr code rows join arena observations), language is
+    * the lowercased doc `lang`, and cyclomatic complexity comes from
+    * `m_static_complexity_td`. Fields absent from a given export are
+    * null (the reference's dict .get defaults). */
+  def codeFromSolrJson(spark: SparkSession, path: String,
+      dataSetId: String): DataFrame = {
+    val docs = spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("response.docs")).as("doc"))
+    val fields = docs.select(col("doc.*")).schema.fieldNames.toSet
+    def scalarField(name: String): org.apache.spark.sql.Column =
+      if (fields(name)) col(s"doc.$name") else lit(null).cast("string")
+    def listField(name: String): org.apache.spark.sql.Column =
+      if (fields(name)) element_at(col(s"doc.$name"), 1)
+      else lit(null).cast("string")
+    // source text lives in 'content' in LASSO code-index exports
+    // (arena.py:291); fall back to list-wrapped 'sourceCode' variants
+    val source =
+      if (fields("content")) scalarField("content") else listField("sourceCode")
+    docs.select(
+        lit(dataSetId).as("data_set_id"),
+        element_at(col("doc.abstractionId"), 1).as("problem_id"),
+        concat(col("doc.id"), lit("_original_0")).as("implementation_id"),
+        source.as("source_code"),
+        Fns.gitBlobHash(source).as("code_hash"),
+        current_timestamp().as("created_at"),
+        listField("m_static_loc_td").cast("int").as("lines_of_code"),
+        listField("m_static_complexity_td").cast("int")
+          .as("cyclomatic_complexity"),
+        lower(scalarField("lang").cast("string")).as("language"))
       .filter(col("source_code").isNotNull)
+  }
 }

@@ -17,5 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GitBlobHashExpr.identifier, GitBlobHashExpr.info,
       GitBlobHashExpr.builder))
+    ext.injectFunction((GitBlobHashExpr.sha1Identifier,
+      GitBlobHashExpr.sha1Info, GitBlobHashExpr.sha1Builder))
   }
 }

@@ -266,7 +266,9 @@ object FunctionQueries {
 
     // Array function family: construction, sorted dedup, membership,
     // slicing, set ops — results canonicalized by sorting on both sides
-    // (engines differ on set-op output order).
+    // (engines differ on set-op output order). Array-typed columns are
+    // serialized with array_join in the final projection: the verify
+    // harness sorts rows with pandas, which cannot hash raw arrays.
     QueryDef("q51_array_funcs",
       (s, d) => lineitem(s, d)
         .groupBy("l_orderkey")
@@ -275,8 +277,9 @@ object FunctionQueries {
         .select(col("l_orderkey"),
           size(col("flags")).as("n"),
           array_contains(col("flags"), "R").as("has_r"),
-          array_distinct(col("flags")).as("distinct_flags"),
-          slice(col("flags"), 1, 2).as("first2"),
+          array_join(array_distinct(col("flags")), ",")
+            .as("distinct_flags"),
+          array_join(slice(col("flags"), 1, 2), ",").as("first2"),
           array_join(array_sort(array_union(col("flags"),
             col("statuses"))), ",").as("merged"))
         .transform(QueryDef.sorted1(_, col("l_orderkey"))),
@@ -288,8 +291,9 @@ object FunctionQueries {
       SELECT l_orderkey,
         len(flags) AS n,
         list_contains(flags, 'R') AS has_r,
-        list_sort(list_distinct(flags)) AS distinct_flags,
-        flags[1:2] AS first2,
+        array_to_string(list_sort(list_distinct(flags)), ',')
+          AS distinct_flags,
+        array_to_string(flags[1:2], ',') AS first2,
         list_aggregate(list_sort(list_distinct(
           list_concat(flags, statuses))), 'string_agg', ',') AS merged
       FROM a ORDER BY l_orderkey""")),

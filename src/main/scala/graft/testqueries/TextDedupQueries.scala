@@ -67,8 +67,8 @@ object TextDedupQueries {
       Some("""WITH n AS (
         SELECT doc_id,
           regexp_replace(regexp_replace(
-            replace(text, chr(13) || chr(10), chr(10)),
-            '(?m)[ \t]+$', '', 'g'), '\n+$', '') AS t
+            regexp_replace(text, '\r\n?', chr(10), 'g'),
+            '(?m)[ \t\x0b\f]+$', '', 'g'), '\n+$', '') AS t
         FROM documents)
       SELECT doc_id,
         sha256('blob ' || CAST(strlen(t) AS VARCHAR) || chr(0) || t)

@@ -37,7 +37,12 @@ object Demo {
       ("e1", "p1", "sysB", "", "0", "t1", "a1", 0, 0, "op", "f", 1.0),
       ("e1", "p1", "sysB", "", "0", "t1", "a1", 1, 0, "input_value", "3", 1.0),
       ("e1", "p1", "sysB", "", "0", "t1", "a1", 2, 0, "value", "1", 1.0),
-      ("e1", "p1", "sysB", "", "0", "t1", "a1", 0, 1, "value", "done", 1.0))
+      ("e1", "p1", "sysB", "", "0", "t1", "a1", 0, 1, "value", "done", 1.0),
+      // test-specification metadata (arena.py ingest_tests shape)
+      ("e1", "p1", "abstraction", "", "0", "t1", "a1", 0, -1,
+        "stimulussheet", """{"cells":{"A1":"f(3)"}}""", 0.0),
+      ("e1", "p1", "abstraction", "", "0", "t1", "a1", 0, -1, "interface",
+        "interface F { int f(int x); }", 0.0))
       .toDF("EXECUTIONID", "ABSTRACTIONID", "SYSTEMID", "VARIANTID",
         "ADAPTERID", "SHEETID", "ARENAID", "X", "Y", "TYPE", "VALUE",
         "EXECUTIONTIME")
@@ -48,8 +53,11 @@ object Demo {
       sortCols = Seq("implementation_id", "test_id", "step_id"))
     lake.append("code_implementations",
       ArenaIngest.codeFromArena(raw, "Demo"), Schemas.codeImplementations)
+    lake.append("tests",
+      ArenaIngest.testsFromArena(raw, "Demo"), Schemas.tests)
     println(s"ingested observations=${lake.observations.count()} " +
-      s"code=${lake.codeImplementations.count()}")
+      s"code=${lake.codeImplementations.count()} " +
+      s"tests=${lake.tests.count()}")
 
     // canonical queries on the pruned partition
     val obs = lake.observations.filter(col("problem_id") === "p1")

@@ -121,16 +121,21 @@ object ProblemBench {
           lit(null).cast("int").as("cyclomatic_complexity"),
           lit("java").as("language")),
       graft.schema.Schemas.codeImplementations)
+    // tests via the real ingest path: synthesize the Y = -1 abstraction
+    // metadata rows (stimulussheet + interface per sheet) the arena
+    // export carries, then run them through testsFromArena
+    val testCells = meta
+      .groupBy("ABSTRACTIONID", "SHEETID").agg(count(lit(1)).as("n"))
+      .selectExpr("'run0' AS EXECUTIONID", "ABSTRACTIONID",
+        "'abstraction' AS SYSTEMID", "'' AS VARIANTID", "'0' AS ADAPTERID",
+        "SHEETID", "'arena1' AS ARENAID",
+        """stack(2,
+          0, 'stimulussheet',
+            concat('{"cells":{"n":', CAST(n AS STRING), '}}'),
+          0, 'interface', 'IFace') AS (X, TYPE, VALUE)""",
+        "-1 AS Y", "CAST(0.0 AS DOUBLE) AS EXECUTIONTIME")
     lake.append("tests",
-      meta.groupBy("ABSTRACTIONID", "SHEETID").agg(count(lit(1)).as("n"))
-        .select(lit(dataSetId).as("data_set_id"),
-          col("ABSTRACTIONID").as("problem_id"),
-          col("SHEETID").as("test_id"),
-          lit("""{"cells":{}}""").as("source_code"),
-          lit("IFace").as("focal_interface"),
-          graft.functions.Fns.gitBlobHash(col("SHEETID")).as("code_hash"),
-          current_timestamp().as("created_at"),
-          lit("java").as("language")),
+      graft.ingest.ArenaIngest.testsFromArena(testCells, dataSetId),
       graft.schema.Schemas.tests)
   }
 }

@@ -4,19 +4,22 @@ import graft.ingest.ArenaIngest
 
 class ArenaIngestSpec extends SparkSpec {
 
-  test("observation regroup: ordered inputs, conditional extraction") {
+  test("observation regroup: ordered inputs/outputs, conditional extraction") {
     val obs = ArenaIngest.observationsFromArena(Fixtures.rawArena, "DS")
       .orderBy("implementation_id", "step_id")
       .collect()
-    // sysA step 0 + step 1, oracle step 0
-    assert(obs.length == 3)
+    // sysA step 0 + step 1; oracle rows excluded at ingest (arena.py:103)
+    assert(obs.length == 2)
+    assert(!obs.exists(_.getAs[String]("implementation_id")
+      .startsWith("oracle")))
     val step0 = obs.find(r =>
       r.getAs[String]("implementation_id") == "sysA_default_0" &&
         r.getAs[Int]("step_id") == 0).get
     // input cells concatenated in X order (X=1 -> "3", X=2 -> "7")
     assert(step0.getAs[String]("inputs") == "3,7")
     assert(step0.getAs[String]("operation") == "create")
-    assert(step0.getAs[String]("output") == "10")
+    // output cells use the same ordered STRING_AGG (X=3 -> "10", X=4 -> "11")
+    assert(step0.getAs[String]("output") == "10,11")
     assert(step0.getAs[Double]("execution_time_ms") == 2.0)
     assert(!step0.getAs[Boolean]("specified_oracle"))
     val step1 = obs.find(r =>
@@ -24,9 +27,6 @@ class ArenaIngestSpec extends SparkSpec {
         r.getAs[Int]("step_id") == 1).get
     assert(step1.getAs[String]("inputs") == null) // no input cells
     assert(step1.getAs[String]("output") == "[]")
-    val oracle = obs.find(r =>
-      r.getAs[String]("implementation_id").startsWith("oracle")).get
-    assert(oracle.getAs[Boolean]("specified_oracle"))
   }
 
   test("implementation id: empty variant becomes 'default'") {
@@ -35,7 +35,7 @@ class ArenaIngestSpec extends SparkSpec {
       .count() == 2)
   }
 
-  test("code dimension excludes oracle and hashes source") {
+  test("code dimension excludes oracle/abstraction and hashes source") {
     val code = ArenaIngest.codeFromArena(Fixtures.rawArena, "DS").collect()
     assert(code.length == 1)
     val r = code.head
@@ -45,18 +45,54 @@ class ArenaIngestSpec extends SparkSpec {
     assert(r.getAs[Int]("lines_of_code") == 1)
   }
 
-  test("solr json code ingest") {
+  test("test ingest: grouped sheet source + focal interface, null dropped") {
+    val tests = ArenaIngest.testsFromArena(Fixtures.rawArena, "DS").collect()
+    // t2 has an interface row but no stimulussheet -> dropped
+    // (arena.py:186-187 WHERE source_code IS NOT NULL)
+    assert(tests.length == 1)
+    val t = tests.head
+    assert(t.getAs[String]("test_id") == "t1")
+    assert(t.getAs[String]("source_code") == """{"cells":{"A1":"create"}}""")
+    assert(t.getAs[String]("focal_interface") == "IFace")
+    assert(t.getAs[String]("code_hash").length == 64)
+    assert(t.getAs[String]("language") == "java")
+    assert(t.getAs[String]("data_set_id") == "DS")
+    assert(t.getAs[String]("problem_id") == "p1")
+  }
+
+  test("solr json code ingest: id suffix, lang, metrics") {
     val dir = tmpDir("solr")
     val json = """{"response":{"docs":[
-      {"id":"impl-1","abstractionId":["p9"],
-       "sourceCode":["class X {}"],"m_static_loc_td":[42]}]}}"""
+      {"id":"impl-1","abstractionId":["p9"],"lang":"Java",
+       "sourceCode":["class X {}"],"m_static_loc_td":[42],
+       "m_static_complexity_td":[5]}]}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/export.json"), json)
     val code = ArenaIngest.codeFromSolrJson(spark, s"$dir/export.json", "DS")
       .collect()
     assert(code.length == 1)
     assert(code.head.getAs[String]("problem_id") == "p9")
+    // {doc.id}_original_0 aligns with the {system}_{variant}_{adapter}
+    // implementation_id convention (arena.py:291)
+    assert(code.head.getAs[String]("implementation_id") ==
+      "impl-1_original_0")
     assert(code.head.getAs[Int]("lines_of_code") == 42)
+    assert(code.head.getAs[Int]("cyclomatic_complexity") == 5)
+    assert(code.head.getAs[String]("language") == "java")
     assert(code.head.getAs[String]("source_code") == "class X {}")
+  }
+
+  test("solr json code ingest: 'content' field preferred, absent metrics null") {
+    val dir = tmpDir("solr2")
+    val json = """{"response":{"docs":[
+      {"id":"impl-2","abstractionId":["p3"],"content":"class Y {}"}]}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/export.json"), json)
+    val code = ArenaIngest.codeFromSolrJson(spark, s"$dir/export.json", "DS")
+      .collect()
+    assert(code.length == 1)
+    assert(code.head.getAs[String]("source_code") == "class Y {}")
+    assert(code.head.isNullAt(code.head.fieldIndex("lines_of_code")))
+    assert(code.head.isNullAt(code.head.fieldIndex("language")))
   }
 }

@@ -60,10 +60,21 @@ object Fixtures {
       ("e1", "p1", "sysA", "", "0", "t1", "a1", 2, 0, "input_value", "7", 1.0),
       ("e1", "p1", "sysA", "", "0", "t1", "a1", 1, 0, "input_value", "3", 1.0),
       ("e1", "p1", "sysA", "", "0", "t1", "a1", 3, 0, "value", "10", 2.0),
+      // second output cell on step 0 (X=4): exercises the ordered
+      // STRING_AGG output column (arena.py:87-90)
+      ("e1", "p1", "sysA", "", "0", "t1", "a1", 4, 0, "value", "11", 2.0),
       // step 1: single output
       ("e1", "p1", "sysA", "", "0", "t1", "a1", 0, 1, "value", "[]", 3.0),
-      // oracle execution rows (flagged, kept in observations)
-      ("e1", "p1", "oracle", "", "0", "t1", "a1", 0, 0, "value", "10", 1.0))
+      // oracle execution rows — excluded at ingest (arena.py:103)
+      ("e1", "p1", "oracle", "", "0", "t1", "a1", 0, 0, "value", "10", 1.0),
+      // test-specification metadata rows (abstraction pseudo-system):
+      // t1 has sheet source + interface; t2 interface only (dropped)
+      ("e1", "p1", "abstraction", "", "0", "t1", "a1", 0, -1,
+        "stimulussheet", """{"cells":{"A1":"create"}}""", 0.0),
+      ("e1", "p1", "abstraction", "", "0", "t1", "a1", 0, -1, "interface",
+        "IFace", 0.0),
+      ("e1", "p1", "abstraction", "", "0", "t2", "a1", 0, -1, "interface",
+        "IFace2", 0.0))
     rows.toDF("EXECUTIONID", "ABSTRACTIONID", "SYSTEMID", "VARIANTID",
       "ADAPTERID", "SHEETID", "ARENAID", "X", "Y", "TYPE", "VALUE",
       "EXECUTIONTIME")

@@ -27,6 +27,16 @@ class FnsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("normalization handles lone CR, VT and FF like Python rstrip") {
+    // reference normalize_source: '\r'->'\n' too; rstrip() strips \x0b/\f
+    val text = "line1  \nline2\u000b\n\nx\r\ntrail\r"
+    // normalized: "line1\nline2\n\nx\ntrail" (17 bytes)
+    val got = Seq(text).toDF("s").select(Fns.gitBlobHash(col("s")))
+      .collect().head.getString(0)
+    assert(got ==
+      "70d9baf12fa9d600187b2db511c834e89160025f91133d72a222ce19ee6b7e74")
+  }
+
   test("gitBlobHash uses byte length for multibyte text") {
     val text = "中文"
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -7,10 +7,14 @@ import graft.plans.{GitBlobHashExpr, GraftExtensions}
 class PlansSpec extends SparkSpec {
   import TestSpark.spark.implicits._
 
-  private def registerNative(): Unit =
+  private def registerNative(): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       GitBlobHashExpr.identifier, GitBlobHashExpr.info,
       GitBlobHashExpr.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      GitBlobHashExpr.sha1Identifier, GitBlobHashExpr.sha1Info,
+      GitBlobHashExpr.sha1Builder)
+  }
 
   private val tricky = Seq(
     "plain text",
@@ -35,6 +39,29 @@ class PlansSpec extends SparkSpec {
       .selectExpr("graft_git_blob_hash(s) AS h").collect()
     assert(out.map(_.getString(0)).distinct.length == 1000)
     assert(out.forall(_.getString(0).length == 64))
+  }
+
+  test("SHA-1 variant matches real `git hash-object` vectors") {
+    registerNative()
+    // vectors computed with `git hash-object --stdin` on the
+    // already-normalized content (normalization is idempotent for these)
+    val vectors = Seq(
+      "hello" -> "b6fc4c620b67d95f953a5c1c1230aaab5db5a1b0",
+      // "hello\n" normalizes to "hello" -> same blob as git sees
+      "hello\n" -> "b6fc4c620b67d95f953a5c1c1230aaab5db5a1b0",
+      "" -> "e69de29bb2d1d6434b8b29ae775ad8c2e48c5391",
+      // CR / VT / FF torture: normalizes to "line1\nline2\n\nx\ntrail"
+      // (vector from hashlib.sha1 of the reference's normalize_source)
+      "line1  \nline2\u000b\n\nx\r\ntrail\r" ->
+        "4e6fee0eef58b887a5316cb9dc2bdb19659fc689")
+    vectors.foreach { case (text, want) =>
+      val viaExpr = Seq(text).toDF("s")
+        .selectExpr("graft_git_blob_sha1(s) AS h").collect().head.getString(0)
+      val viaCol = Seq(text).toDF("s")
+        .select(Fns.gitBlobHashSha1(col("s"))).collect().head.getString(0)
+      assert(viaExpr == want, s"expr: ${text.take(20)}")
+      assert(viaCol == want, s"column form: ${text.take(20)}")
+    }
   }
 
   test("extensions object applies its function injection cleanly") {

@@ -154,25 +154,26 @@ class StreamingSpec extends SparkSpec {
         lake, "CI", ckDir)
       q.awaitTermination(120000)
     }
-    // CI drop 1: the fixture export (3 observation rows after regroup)
+    // CI drop 1: the fixture export (2 observation rows after regroup —
+    // oracle rows are excluded at ingest)
     Fixtures.rawArena.coalesce(1).write.mode("append").parquet(srcDir)
     run()
-    assert(lake.observations.count() == 3)
+    assert(lake.observations.count() == 2)
     // CI drop 2: a second problem's export arrives later
     Fixtures.rawArena
       .withColumn("ABSTRACTIONID", org.apache.spark.sql.functions.lit("p2"))
       .coalesce(1).write.mode("append").parquet(srcDir)
     run()
-    assert(lake.observations.count() == 6)
+    assert(lake.observations.count() == 4)
     // partition layout materialized per problem, queryable immediately
     assert(new java.io.File(
       s"$wh/observations/data_set_id=CI/problem_id=p2").exists())
     assert(lake.observations
       .filter(org.apache.spark.sql.functions.col("problem_id") === "p2")
-      .count() == 3)
+      .count() == 2)
     // a third run with NO new files is a no-op (checkpoint)
     run()
-    assert(lake.observations.count() == 6)
+    assert(lake.observations.count() == 4)
   }
 
   test("sessionize without open-session emission holds back the tail") {
