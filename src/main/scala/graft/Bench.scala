@@ -28,26 +28,42 @@ object Bench {
     def exec(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Optional comma-separated filter for targeted iteration
+    // (SPARK_GRAFT_BENCH_ONLY=q51_array_funcs,q50_consensus_verdicts).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     // Warm-up pass (untimed): JIT, codegen caches, file listing.
     qs.foreach { case (_, fn) =>
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     // Two timed passes, min per query: single-pass numbers swing ±40%
-    // from GC/scheduler noise in local mode.
-    def timed(fn: (org.apache.spark.sql.SparkSession, String)
+    // from GC/scheduler noise in local mode. A throwing query reports -1,
+    // never the (small, healthy-looking) time-to-exception.
+    def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String)
         => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        exec(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => errors += name; -1.0 }
     }
     val results = qs.map { case (name, fn) =>
-      name -> math.min(timed(fn), timed(fn))
+      // Collect garbage between queries: carry-over heap pressure from a
+      // neighbor's ObjectHashAggregate maps otherwise lands GC pauses in
+      // whichever query runs next (observed 4x swings on the tail).
+      System.gc()
+      val a = timed(name, fn)
+      val b = timed(name, fn)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
