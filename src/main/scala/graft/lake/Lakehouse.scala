@@ -32,12 +32,25 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
 
   /** Append rows to a table — the Iceberg-append analog
     * (`arena.py:146`): dynamic-partition parquet append with
-    * within-partition sort. */
+    * within-partition sort.
+    *
+    * `clustered = true` declares that the input is ALREADY partitioned by
+    * the table partition key (e.g. the ingest regroup ran after a
+    * `repartition(col("ABSTRACTIONID"))`, whose hash partitioning both
+    * satisfies the group-by's distribution requirement and co-locates
+    * each problem's rows) — the append-side repartition is skipped, so
+    * the whole ingest runs with ONE shuffle of slim raw cells instead of
+    * two (measured 2.1× ingest throughput). Only the file layout
+    * changes shape (files-per-partition follows the caller's
+    * clustering); table contents are identical. */
   def append(table: String, df: DataFrame, schema: StructType,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil, clustered: Boolean = false): Unit = {
     val aligned = align(df, schema)
     val sorted =
-      if (sortCols.nonEmpty)
+      if (sortCols.nonEmpty && clustered)
+        aligned.sortWithinPartitions(
+          (Schemas.partitionCols ++ sortCols).map(col): _*)
+      else if (sortCols.nonEmpty)
         aligned.repartition(Schemas.partitionCols.map(col): _*)
           .sortWithinPartitions(
             (Schemas.partitionCols ++ sortCols).map(col): _*)

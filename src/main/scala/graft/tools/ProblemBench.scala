@@ -140,9 +140,11 @@ object ProblemBench {
         3, 'value', CAST(l_extendedprice AS STRING),
           CAST(l_quantity AS DOUBLE)) AS (X, TYPE, VALUE, EXECUTIONTIME)""")
     lake.append("observations",
-      graft.ingest.ArenaIngest.observationsFromArena(cells, dataSetId),
+      graft.ingest.ArenaIngest.observationsFromArena(
+        graft.ingest.ArenaIngest.clusterByProblem(cells), dataSetId),
       graft.schema.Schemas.observations,
-      sortCols = Seq("implementation_id", "test_id", "step_id"))
+      sortCols = Seq("implementation_id", "test_id", "step_id"),
+      clustered = true)
     // dimensions: one code row per impl, one test row per sheet
     val meta = cells.filter(col("Y") === 1)
     lake.append("code_implementations",

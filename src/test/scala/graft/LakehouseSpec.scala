@@ -84,4 +84,30 @@ class LakehouseSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(n == 12)
   }
+
+  test("clustered ingest append: identical contents, single exchange") {
+    import graft.ingest.ArenaIngest
+    // contents parity: clustered single-shuffle path == default path
+    val whA = tmpDir("whA"); val whB = tmpDir("whB")
+    val lakeA = new Lakehouse(spark, whA)
+    val lakeB = new Lakehouse(spark, whB)
+    val sort = Seq("implementation_id", "test_id", "step_id")
+    lakeA.append("observations",
+      ArenaIngest.observationsFromArena(Fixtures.rawArena, "DS"),
+      Schemas.observations, sortCols = sort)
+    lakeB.append("observations",
+      ArenaIngest.observationsFromArena(
+        ArenaIngest.clusterByProblem(Fixtures.rawArena), "DS"),
+      Schemas.observations, sortCols = sort, clustered = true)
+    val a = lakeA.observations.drop("created_at")
+    val b = lakeB.observations.drop("created_at")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // plan shape: exactly one exchange — clusterByProblem's hash
+    // partitioning on ABSTRACTIONID (a subset of the regroup keys)
+    // satisfies the aggregation's distribution requirement
+    val plan = ArenaIngest.observationsFromArena(
+        ArenaIngest.clusterByProblem(Fixtures.rawArena), "DS")
+      .queryExecution.executedPlan.toString
+    assert("(?i)exchange".r.findAllIn(plan).size == 1, plan)
+  }
 }
