@@ -98,9 +98,16 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
 
   /** Small-file compaction (SURVEY §7 "small-file / tiny-partition
     * layout" hazard: many appends × many problems → file explosion):
-    * rewrites each partition's files into `filesPerPartition`, preserving
-    * layout and data. Run periodically, like Iceberg's rewrite-data-files
-    * maintenance. */
+    * rewrites each partition's files into one, preserving layout and
+    * data. Run periodically, like Iceberg's rewrite-data-files
+    * maintenance.
+    *
+    * Promotion uses the Hadoop `FileSystem` of the warehouse path, so it
+    * works wherever a 100 TB lakehouse actually lives (HDFS, S3A, local)
+    * — not just `java.io.File`. The two renames are NOT atomic as a pair
+    * (HDFS renames are individually atomic; S3A renames are copies):
+    * run compaction in a maintenance window, or front the table with a
+    * catalog that swaps locations atomically. */
   def compact(table: String, schema: StructType): Unit = {
     val tmp = s"${dir(table)}__compacting"
     // hash-repartition on the partition columns: all rows of one
@@ -110,15 +117,13 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
       .write.mode("overwrite")
       .partitionBy(Schemas.partitionCols: _*)
       .parquet(tmp)
-    val target = new java.io.File(dir(table))
-    val backup = new java.io.File(s"${dir(table)}__old")
-    require(target.renameTo(backup), s"compact: cannot move $target")
-    require(new java.io.File(tmp).renameTo(target),
+    val target = new org.apache.hadoop.fs.Path(dir(table))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(s"${dir(table)}__old")
+    require(fs.rename(target, backup), s"compact: cannot move $target")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), target),
       s"compact: cannot promote $tmp")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(backup)
+    fs.delete(backup, true)
   }
 
   /** SQL DDL registration (SURVEY S6): declares the partitioned layout as

@@ -114,10 +114,15 @@ object Dedup {
     * contributes df² candidate pairs — the quadratic blowup that kills
     * shared-shingle joins on web-scale corpora. Dropping those shingles
     * bounds per-key fan-out; sizes |A|,|B| are computed on the SAME
-    * capped sets so the Jaccard stays internally consistent. */
+    * capped sets so the Jaccard stays internally consistent.
+    *
+    * The DEFAULT is finite: a shingle shared by >100k documents is a
+    * stop-phrase, not near-duplication signal, and 100k² candidate pairs
+    * from one key is an outage. Pass `Long.MaxValue` explicitly to get
+    * the uncapped exact join on corpora known to be small. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = 100000L): DataFrame = {
     // join on the 60-bit shingle hash, not the string: fixed-width join
     // keys sort/compare far faster through the shuffle; a false pair
     // needs an md5-60bit collision among the distinct shingles

@@ -24,14 +24,16 @@ final case class MediaFeatures(
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per partition.
   *
-  * The decode itself is STUBBED (no image/audio codecs in this
-  * environment): [[FakeDecoder]] derives deterministic metadata and a
-  * 16-dim byte-histogram feature from the raw bytes. The Spark-side
-  * plumbing — schema, binary column handling, partition-batched decode
-  * via `mapPartitions` (the JVM analog of `mapInPandas`: one decoder
-  * instantiation per partition, streaming over rows), partitioning — is
-  * real and tested. Swap [[Decoder]] for a codec-backed one in
-  * production.
+  * Image HEADER decode is real: [[ImageHeaderDecoder]] parses PNG IHDR /
+  * JPEG SOF / GIF logical-screen headers for true width/height, pure
+  * JVM, no codec dependencies. Pixel decode, audio and video stay
+  * STUBBED ([[FakeDecoder]]: deterministic metadata and a 16-dim
+  * byte-histogram feature — no codecs in this environment). The
+  * Spark-side plumbing — schema, binary column handling,
+  * partition-batched decode via `mapPartitions` (the JVM analog of
+  * `mapInPandas`: one decoder instantiation per partition, streaming
+  * over rows), partitioning — is real and tested. Swap [[Decoder]] for
+  * a codec-backed one in production.
   */
 object Multimodal {
 
@@ -58,6 +60,72 @@ object Multimodal {
       }
   }
 
+  /** Container-header dimension parsing — the part of image decode that
+    * needs no codec, just bytes. */
+  object ImageHeaders {
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    private val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+      0x1a, 0x0a).map(_.toByte)
+
+    /** (width, height) from PNG / JPEG / GIF header bytes; None when the
+      * content is not a recognized image container. */
+    def dimensions(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length >= 24 && b.startsWith(pngSig) &&
+          new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            == "IHDR")
+        Some((be32(b, 16), be32(b, 20)))          // PNG IHDR
+      else if (b.length >= 10 &&
+          (b.startsWith("GIF87a".getBytes) ||
+            b.startsWith("GIF89a".getBytes)))
+        Some((le16(b, 6), le16(b, 8)))            // GIF logical screen
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff &&
+          (b(1) & 0xff) == 0xd8)
+        jpegSof(b)                                // JPEG: walk markers
+      else None
+    }
+
+    /** Walk JPEG marker segments to the first SOFn frame header (C0-CF
+      * minus the non-frame C4/C8/CC): height at +5, width at +7. */
+    private def jpegSof(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return if (i + 8 < b.length)
+            Some((be16(b, i + 7), be16(b, i + 5))) else None
+        }
+        // standalone markers (D0-D9) have no length field
+        if (marker >= 0xd0 && marker <= 0xd9) i += 2
+        else i += 2 + be16(b, i + 2)
+      }
+      None
+    }
+  }
+
+  /** Real image-header decoder: true width/height parsed from PNG /
+    * JPEG / GIF container headers; items that are not recognized image
+    * containers (audio, video, unparseable bytes) fall back to
+    * [[FakeDecoder]]'s deterministic stub metadata. The feature vector
+    * stays the byte histogram — pixel decode needs a codec. */
+  object ImageHeaderDecoder extends Decoder {
+    def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
+      items.map { m =>
+        val base = FakeDecoder.decode(Iterator.single(m)).next()
+        ImageHeaders.dimensions(m.content) match {
+          case Some((w, h)) => base.copy(width = w, height = h)
+          case None => base
+        }
+      }
+  }
+
   /** Wrap a text/binary source into the media-item shape (fake content
     * for this environment; real pipelines read binary files or BLOB
     * columns directly). */
@@ -73,7 +141,7 @@ object Multimodal {
     * rows are heavily size-skewed at scale), then one decoder per
     * partition. */
   def decodeFeatures(spark: SparkSession, items: DataFrame,
-      decoder: Decoder = FakeDecoder,
+      decoder: Decoder = ImageHeaderDecoder,
       partitions: Int = 0): Dataset[MediaFeatures] = {
     import spark.implicits._
     val ds = items.as[MediaItem]

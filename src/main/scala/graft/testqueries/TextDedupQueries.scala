@@ -250,15 +250,21 @@ object TextDedupQueries {
 
     // Exact n-gram Jaccard near-dup: shared-shingle candidate join,
     // |A∩B| / (|A|+|B|−|A∩B|), threshold 0.3.
+    // The declared path exercises the df-capped join (maxDf = 50): the
+    // cap is the operator's scale story — an ultra-common shingle would
+    // otherwise contribute df² candidate pairs — so the oracle-checked
+    // query is the capped one, with the identical df filter in DuckDB.
     QueryDef("q23_ngram_jaccard",
       (s, d) => graft.ops.Dedup
-        .ngramJaccard(documents(s, d), "doc_id", "text", 0.3)
+        .ngramJaccard(documents(s, d), "doc_id", "text", 0.3, maxDf = 50)
         .transform(QueryDef.sorted1(_, col("a_id"), col("b_id"))),
       Some(s"""WITH $shingleSql,
-      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      shc AS (SELECT doc_id, s FROM sh
+        QUALIFY COUNT(*) OVER (PARTITION BY s) <= 50),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
       inter AS (
         SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
-        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id)
       SELECT a_id, b_id, inter,
         inter / (sa.sz + sb.sz - inter) AS jaccard

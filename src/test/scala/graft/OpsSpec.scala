@@ -147,4 +147,38 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(p.sum * 4 - orig.map(_.toDouble).sum) < 1e-6)
     }
   }
+
+  test("image header decode: real PNG/JPEG/GIF dimensions from bytes") {
+    import graft.ops.Multimodal.ImageHeaders
+    // an actual 1x1 PNG file (the canonical transparent pixel)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkY" +
+        "Phf/x8AAwMCAO+ip1sAAAAASUVORK5CYII=")
+    assert(ImageHeaders.dimensions(png).contains((1, 1)))
+    // minimal JPEG: SOI + APP0(JFIF) + SOF0 with height=2, width=3
+    val jpeg = Array(
+      0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00,
+      0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x02, 0x00, 0x03, 0x01,
+      0x01, 0x11, 0x00).map(_.toByte)
+    assert(ImageHeaders.dimensions(jpeg).contains((3, 2)))
+    // GIF89a logical screen 4x5 (little-endian dims)
+    val gif = "GIF89a".getBytes ++
+      Array(0x04, 0x00, 0x05, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(ImageHeaders.dimensions(gif).contains((4, 5)))
+    // non-image bytes: no dimensions
+    assert(ImageHeaders.dimensions("plain text".getBytes).isEmpty)
+
+    // end-to-end through the Spark decode path: real dims for the PNG
+    // row, deterministic stub fallback for the text row
+    import TestSpark.spark.implicits._
+    val items = Seq(
+      graft.ops.MediaItem(1L, "image", png, png.length.toLong),
+      graft.ops.MediaItem(2L, "image", "not an image".getBytes,
+        12L)).toDF()
+    val feats = Multimodal.decodeFeatures(spark, items).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 1 && feats(1L).height == 1)
+    assert(feats(2L).width >= 1 && feats(2L).feature.length == 16)
+  }
 }
