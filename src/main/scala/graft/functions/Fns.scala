@@ -113,20 +113,26 @@ object Fns {
   def avgDec(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(28,$scale)")).cast("double") / count(c)
 
-  /** Dot product of two double arrays via an ordered left fold (zip_with +
-    * aggregate). DuckDB mirror: list_dot_product on DOUBLE[] (parity
-    * verified in the test suite; both fold elementwise in order). */
-  def dotProduct(a: Column, b: Column): Column =
+  /** Dot product via an ordered left fold (zip_with + aggregate) over
+    * double arrays. Kept as the pure-built-in reference implementation —
+    * the hot path is [[graft.plans.VecDotExpr]] (same fold order, one
+    * codegen'd loop, no intermediate arrays); the test suite asserts the
+    * two agree bit-for-bit. DuckDB mirror: list_dot_product on DOUBLE[]
+    * (both fold elementwise in order). */
+  def dotProductFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Dot product of two float-array embedding columns, accumulated in
+    * double: the native codegen'd expression. */
+  def dotProduct(a: Column, b: Column): Column =
+    graft.plans.VecDotExpr.dot(a, b)
+
   /** Cosine similarity of two float-array embedding columns, computed in
-    * double precision. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, _.cast("double"))
-    val bd = transform(b, _.cast("double"))
-    dotProduct(ad, bd) /
-      (sqrt(dotProduct(ad, ad)) * sqrt(dotProduct(bd, bd)))
-  }
+    * double precision (three native dot passes; identical rounding to
+    * the fold form and DuckDB's list_dot_product). */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) /
+      (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
 
   /** NOTE on a rejected alternative: a statically-unrolled
     * element_at(a,1)*element_at(b,1)+... chain generates a method so large

@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GitBlobHashExpr.builder))
     ext.injectFunction((GitBlobHashExpr.sha1Identifier,
       GitBlobHashExpr.sha1Info, GitBlobHashExpr.sha1Builder))
+    ext.injectFunction((VecDotExpr.identifier, VecDotExpr.info,
+      VecDotExpr.builder))
   }
 }

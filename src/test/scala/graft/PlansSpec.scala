@@ -64,6 +64,41 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("native vec dot: bit-identical to the zip_with fold, null parity") {
+    import graft.functions.Fns
+    import graft.plans.VecDotExpr
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    def dd(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    val out = df.select(
+      VecDotExpr.dot(col("a"), col("b")).as("native_f"),
+      VecDotExpr.dot(dd(col("a")), dd(col("b"))).as("native_d"),
+      Fns.dotProductFold(dd(col("a")), dd(col("b"))).as("fold")).collect()
+    out.foreach { r =>
+      // float path and double path both accumulate (double)a*(double)b in
+      // index order — all three must be bit-identical
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    }
+    // length mismatch and null elements -> NULL, like the fold
+    val edge = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)),
+      (Array(1f, 2f), Array(1f, 2f))).toDF("a", "b")
+    val e = edge.select(VecDotExpr.dot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(e(0).isNullAt(0) && e(1).getDouble(0) == 5.0)
+    // SQL surface via the extensions-injected function
+    spark.sessionState.functionRegistry.registerFunction(
+      VecDotExpr.identifier, VecDotExpr.info, VecDotExpr.builder)
+    assert(df.selectExpr("graft_vec_dot(a, b) AS d").count() == 200)
+  }
+
   test("extensions object applies its function injection cleanly") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder proven above
