@@ -112,10 +112,13 @@ object CompletenessQueries {
     // WITHIN GROUP ordered, value tie-break for determinism.
     QueryDef("q36_listagg_native",
       (s, d) => lineitem(s, d)
+        // range-partition raw rows by the grouping key (see q05): agg
+        // runs exchange-free, total order comes out parallel
+        .repartitionByRange(col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(expr("listagg(l_returnflag, ',') WITHIN GROUP " +
           "(ORDER BY l_linenumber, l_returnflag)").as("flags"))
-        .transform(QueryDef.sorted1(_, col("l_orderkey"))),
+        .sortWithinPartitions("l_orderkey"),
       Some("""SELECT l_orderkey,
         string_agg(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag)
           AS flags

@@ -108,6 +108,14 @@ object CoreQueries {
     // NULLIF('') matches DuckDB's NULL result on an all-filtered group.
     QueryDef("q05_string_agg_ordered",
       (s, d) => lineitem(s, d)
+        // range-partition the RAW rows by the grouping key: sampling
+        // runs against the cheap scan (a global orderBy on the agg
+        // output would re-execute the aggregation for its sampling
+        // pass), the aggregation runs exchange-free on the range
+        // partitions (RangePartitioning on l_orderkey satisfies its
+        // ClusteredDistribution), and sortWithinPartitions then yields
+        // a parallel TOTAL order — no single-task final sort
+        .repartitionByRange(col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(
           nullif(Fns.orderedStringAgg(col("l_linenumber"),
@@ -115,7 +123,7 @@ object CoreQueries {
             lit("")).as("big_flags"),
           Fns.orderedStringAgg(col("l_linenumber"),
             col("l_partkey").cast("string"), ",").as("parts"))
-        .transform(QueryDef.sorted1(_, col("l_orderkey"))),
+        .sortWithinPartitions("l_orderkey"),
       Some("""SELECT l_orderkey,
         string_agg(CASE WHEN l_quantity > 25 THEN l_returnflag END,
           ',' ORDER BY l_linenumber,
@@ -165,10 +173,13 @@ object CoreQueries {
     // signature (reference benchmark_behavioral_clustering.py:57-62).
     QueryDef("q08_ordered_fingerprint",
       (s, d) => lineitem(s, d)
+        // range-partition raw rows by the grouping key (see q05): agg
+        // runs exchange-free, total order comes out parallel
+        .repartitionByRange(col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(to_json(Fns.orderedCollect(col("l_linenumber"),
           col("l_returnflag"))).as("sig"))
-        .transform(QueryDef.sorted1(_, col("l_orderkey"))),
+        .sortWithinPartitions("l_orderkey"),
       Some("""SELECT l_orderkey,
         to_json(list(l_returnflag ORDER BY l_linenumber, l_returnflag))
           AS sig
@@ -181,7 +192,13 @@ object CoreQueries {
     // md5-hashed before the final shuffle (SURVEY §7: fixed-width keys).
     QueryDef("q09_behavioral_clustering",
       (s, d) => {
+        // hash-partition once on l_suppkey: a subset of the first
+        // grouping key and the whole second grouping key, so both
+        // signature aggregations run exchange-free after one shuffle of
+        // raw rows (which cost the same as partial-agg buffers here:
+        // 580k groups from 600k rows compress nothing)
         val s1 = lineitem(s, d)
+          .repartition(col("l_suppkey"))
           .groupBy("l_suppkey", "l_orderkey")
           .agg(to_json(Fns.orderedCollect(col("l_linenumber"),
             col("l_returnflag"))).as("sig"))

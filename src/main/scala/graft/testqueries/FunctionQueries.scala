@@ -216,7 +216,14 @@ object FunctionQueries {
         // set on each (order, sig) vote row so the verdict explode
         // doesn't recompute the 580k-row base (a naive two-branch DAG
         // runs it twice)
+        // one exchange serves three operators: hash-partitioning on
+        // l_orderkey (subset of the first grouping key) satisfies the
+        // (supp, order) agg, the (order, sig) agg AND the window's
+        // partitionBy(order) — and the first grouping compresses nothing
+        // (580k groups from 600k rows), so shuffling raw rows costs the
+        // same bytes as shuffling partial-agg buffers
         val votes = lineitem(s, d)
+          .repartition(col("l_orderkey"))
           .groupBy("l_suppkey", "l_orderkey")
           .agg(md5(to_json(Fns.orderedCollect(col("l_linenumber"),
             col("l_returnflag")))).as("sig"))
