@@ -65,6 +65,9 @@ object CoreQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("o_orderpriority"), col("c_name"), col("c_mktsegment"),
           col("l_extendedprice"))
+        // measured: a parallel global orderBy is SLOWER here (2.5s vs
+        // 1.9s) — range sampling re-executes the scan+joins, which costs
+        // more than dragging the ~550k result rows through one sort task
         .transform(QueryDef.sorted1(_, col("l_orderkey"),
           col("l_linenumber"))),
       Some("""SELECT l_orderkey, l_linenumber, o_orderpriority, c_name,

@@ -278,6 +278,10 @@ object FunctionQueries {
     // harness sorts rows with pandas, which cannot hash raw arrays.
     QueryDef("q51_array_funcs",
       (s, d) => lineitem(s, d)
+        // range-partition raw rows by the grouping key (see q05): the
+        // collect aggregation runs exchange-free and the final order
+        // comes out of sortWithinPartitions in parallel
+        .repartitionByRange(col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_returnflag"))).as("flags"),
           sort_array(collect_set(col("l_linestatus"))).as("statuses"))
@@ -289,7 +293,7 @@ object FunctionQueries {
           array_join(slice(col("flags"), 1, 2), ",").as("first2"),
           array_join(array_sort(array_union(col("flags"),
             col("statuses"))), ",").as("merged"))
-        .transform(QueryDef.sorted1(_, col("l_orderkey"))),
+        .sortWithinPartitions("l_orderkey"),
       Some("""WITH a AS (
         SELECT l_orderkey,
           list_sort(list(l_returnflag)) AS flags,
