@@ -75,4 +75,26 @@ class CanonicalQueriesSpec extends SparkSpec {
     assert(s.getAs[Long]("n_observations") == 12)
     assert(s.getAs[Double]("max_execution_time_ms") == 1.5)
   }
+
+  test("interactive single-partition path returns batch-identical results") {
+    val obs = Fixtures.observations
+    val i = CanonicalQueries.interactive(obs)
+    // every canonical query: same rows whether the input is declared
+    // single-partition (interactive) or left at full parallelism
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+    same(CanonicalQueries.behavioralClustering(i),
+      CanonicalQueries.behavioralClustering(obs))
+    same(CanonicalQueries.srmOutputView(i, Seq("i1", "i2", "i3")),
+      CanonicalQueries.srmOutputView(obs, Seq("i1", "i2", "i3")))
+    same(CanonicalQueries.perProblemStats(i),
+      CanonicalQueries.perProblemStats(obs))
+    same(CanonicalQueries.consensusVerdicts(i),
+      CanonicalQueries.consensusVerdicts(obs))
+    // and it really is one partition end to end
+    assert(CanonicalQueries.behavioralClustering(i).rdd.getNumPartitions
+      == 1)
+  }
 }
