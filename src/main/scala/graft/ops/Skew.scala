@@ -20,7 +20,8 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int): DataFrame = {
     val saltL = pmod(
-      xxhash64(large.columns.map(large(_)): _*), lit(saltFactor))
+      xxhash64(large.columns.toIndexedSeq.map(large(_)): _*),
+      lit(saltFactor))
     val l = large.withColumn("__salt", saltL)
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -36,7 +36,10 @@ object ArenaIngestCli {
     }
 
     args.drop(1).foreach { spec =>
-      val Array(id, paths) = spec.split("=", 2)
+      val (id, paths) = spec.split("=", 2) match {
+        case Array(i, p) => (i, p)
+        case _ => sys.error(s"bad dataset spec: $spec")
+      }
       val ps = paths.split(",")
       val export = ps(0)
       val raw = spark.read.parquet(export)
