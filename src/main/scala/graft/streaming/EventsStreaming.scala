@@ -101,10 +101,13 @@ object EventsStreaming {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // single-shuffle ingest per micro-batch (see clusterByProblem)
         lake.append("observations",
-          graft.ingest.ArenaIngest.observationsFromArena(batch, dataSetId),
+          graft.ingest.ArenaIngest.observationsFromArena(
+            graft.ingest.ArenaIngest.clusterByProblem(batch), dataSetId),
           graft.schema.Schemas.observations,
-          sortCols = Seq("implementation_id", "test_id", "step_id"))
+          sortCols = Seq("implementation_id", "test_id", "step_id"),
+          clustered = true)
       }
       .start()
 
