@@ -50,6 +50,21 @@ object TextAnalysis {
           when(nWords >= 20, 0.5).otherwise(nWords * 0.025))
   }
 
+  /** End-to-end corpus curation — the shape of a pretraining data
+    * filter: quality gate (length + composite score) → language ID →
+    * exact dedup keeping the lowest-id copy. All per-row stages fuse
+    * into ONE codegen'd scan; the dedup adds the single content-hash
+    * shuffle from [[Dedup.dropDuplicatesByContent]]. Returns surviving
+    * rows with `predicted_lang`, `n_words`, `quality_score` attached.
+    * Oracle-verified end to end (q53). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 10, minQuality: Double = 0.3): DataFrame = {
+    val scored = languageId(qualityScore(docs, textCol), textCol)
+      .filter(col("n_words") >= minWords &&
+        col("quality_score") >= minQuality)
+    Dedup.dropDuplicatesByContent(scored, idCol, textCol)
+  }
+
   /** Whitespace + BPE-ish regex token counts. */
   def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
     docs

@@ -309,6 +309,55 @@ object TextDedupQueries {
           ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
         v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
         SELECT doc_id, $combine AS simhash FROM v ORDER BY doc_id"""
+      }),
+
+    // End-to-end curation pipeline (TextAnalysis.curate): quality gate →
+    // language ID → exact dedup keep-first — the composed pretraining
+    // corpus filter, oracle-verified through the library operator itself.
+    QueryDef("q53_curation",
+      (s, d) => graft.ops.TextAnalysis
+        .curate(documents(s, d), "doc_id", "text",
+          minWords = 10, minQuality = 0.3)
+        .select(col("doc_id"), col("predicted_lang"), col("n_words"),
+          col("quality_score"))
+        .transform(QueryDef.sorted1(_, col("doc_id"))),
+      Some {
+        // mirrors TextAnalysis exactly: 5-word stopword lists, unlowered
+        // words for quality, lowered for language ID, argmax tie order
+        def hitsSql(e: String, l: Seq[String]) =
+          s"len(list_filter(string_split_regex(trim($e), '\\s+'), " +
+            s"w -> w IN (${l.map(x => s"'$x'").mkString(", ")})))"
+        val nStop = hitsSql("text", Seq("the", "a", "of", "and", "is"))
+        val en = hitsSql("lower(text)", Seq("the", "a", "of", "and", "is"))
+        val de = hitsSql("lower(text)",
+          Seq("der", "die", "das", "und", "ist"))
+        val es = hitsSql("lower(text)", Seq("el", "la", "de", "y", "es"))
+        val fr = hitsSql("lower(text)", Seq("le", "la", "les", "et", "est"))
+        val zh = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+        s"""WITH q AS (
+          SELECT doc_id, text,
+            len(string_split_regex(trim(text), '\\s+')) AS n_words,
+            ($nStop / len(string_split_regex(trim(text), '\\s+')))
+              * CAST(0.5 AS DOUBLE) +
+              CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20
+                THEN CAST(0.5 AS DOUBLE)
+                ELSE len(string_split_regex(trim(text), '\\s+'))
+                  * CAST(0.025 AS DOUBLE)
+              END AS quality_score
+          FROM documents),
+        gated AS (
+          SELECT * FROM q WHERE n_words >= 10 AND quality_score >= 0.3),
+        keep AS (
+          SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+        SELECT g.doc_id,
+          CASE WHEN $zh > 0 THEN 'zh'
+            WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+            WHEN $de >= $es AND $de >= $fr THEN 'de'
+            WHEN $es >= $fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang,
+          n_words, quality_score
+        FROM gated g JOIN keep USING (doc_id)
+        ORDER BY doc_id"""
       })
   )
 }

@@ -103,6 +103,21 @@ class OpsSpec extends SparkSpec {
       math.abs(r.getAs[Double]("sim") - 1.0) < 1e-12))
   }
 
+  test("curation pipeline: quality gate, lang id, keep-first dedup") {
+    val long = ("the cat is on the mat and the dog is of the house " * 2)
+      .trim // 24 words, stopword-rich -> passes the gate
+    val d = Seq(
+      (1L, long),
+      (2L, long), // exact duplicate -> dropped (keep-first = id 1)
+      (3L, "too short"), // fails minWords
+      (4L, long + " extra tail words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.curate(d, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 4L))
+    assert(out.forall(_.getAs[String]("predicted_lang") == "en"))
+    assert(out.forall(_.getAs[Double]("quality_score") >= 0.3))
+  }
+
   test("language id predicts via stopword scores") {
     val d = Seq((1L, "the cat is on the mat"), (2L, "der hund und das ist"))
       .toDF("doc_id", "text")
