@@ -153,6 +153,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a candidate-pair graph — the step that
+    * turns LSH/Jaccard/embedding candidate PAIRS into dedup GROUPS
+    * (transitive closure: if a~b and b~c, all three are one group).
+    * Pregel-style min-label propagation: every node takes the minimum
+    * label among itself and its neighbors until fixpoint — one shuffle
+    * per round, O(max cluster diameter) rounds, which for near-dup
+    * graphs is small (dup clusters are dense). Lineage is truncated
+    * with `localCheckpoint` each round so the plan does not grow
+    * exponentially across iterations (the standard Spark iterative-
+    * algorithm discipline; GraphX does the same internally).
+    * Returns (id, group_id = min id in the component). */
+  def nearDupGroups(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // each node's new label: min over (own label, neighbors' labels)
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+        .join(labels, Seq("id"))
+        .select(col("id"),
+          least(col("label"), col("nbr_label")).as("label"),
+          (col("nbr_label") < col("label")).as("__changed"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__changed")).count()
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "group_id")
+  }
+
+  /** Materialized near-dup removal: keep one representative (the
+    * min-id member) per connected component of the candidate-pair
+    * graph; rows that appear in no pair survive untouched. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame = {
+    val losers = nearDupGroups(pairs, aCol, bCol)
+      .filter(col("id") =!= col("group_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup: pairwise cosine within blocking-key groups
     * (label, LSH bucket, IVF cell, ...) at `threshold`. The blocking
     * column bounds the pairwise work per group. */

@@ -103,6 +103,21 @@ class OpsSpec extends SparkSpec {
       math.abs(r.getAs[Double]("sim") - 1.0) < 1e-12))
   }
 
+  test("near-dup groups: transitive closure of candidate pairs") {
+    // two components, one needing >1 propagation round (chain 3-2-1,
+    // edge listed high-to-low so labels must flow against edge order),
+    // plus a pair component; doc 6 appears in no pair
+    val pairs = Seq((3L, 2L), (2L, 1L), (5L, 4L)).toDF("a_id", "b_id")
+    val groups = Dedup.nearDupGroups(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // one representative per component + the untouched doc 6
+    assert(kept == Seq(1L, 4L, 6L))
+  }
+
   test("curation pipeline: quality gate, lang id, keep-first dedup") {
     val long = ("the cat is on the mat and the dog is of the house " * 2)
       .trim // 24 words, stopword-rich -> passes the gate
