@@ -32,6 +32,18 @@ class OpsSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("est_sim") < 1.0))
   }
 
+  test("full near-dup pipeline: LSH candidates -> groups -> kept corpus") {
+    // the composed at-scale shape: candidate pairs from banding,
+    // transitive closure, one representative kept per dup cluster
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select(col("a_id"), col("b_id"))
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq.sorted
+    // docs 1 and 2 are identical -> one of them (the min id) survives
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(kept.size < docs.count())
+  }
+
   test("simhash: identical docs equal, near docs close, far docs far") {
     val sigs = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
