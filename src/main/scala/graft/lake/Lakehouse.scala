@@ -157,7 +157,10 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     * whole-table materialization (SURVEY EP3). */
   def query(sql: String): DataFrame = {
     Seq("observations", "code_implementations", "tests").foreach { t =>
-      if (new java.io.File(dir(t)).exists())
+      // existence via the warehouse path's FileSystem (HDFS/S3A/local),
+      // same as compact — not java.io.File
+      val p = new org.apache.hadoop.fs.Path(dir(t))
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
         load(t).createOrReplaceTempView(t)
     }
     spark.sql(sql)
