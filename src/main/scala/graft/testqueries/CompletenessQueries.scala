@@ -218,6 +218,75 @@ object CompletenessQueries {
             ROWS UNBOUNDED PRECEDING) AS matched
         FROM u)
       SELECT l_id AS o_orderkey, matched AS last_event_id
-      FROM w WHERE is_left = 1 ORDER BY o_orderkey"""))
+      FROM w WHERE is_left = 1 ORDER BY o_orderkey""")),
+
+    // Window-function breadth beyond q35: lead, row_number, ntile,
+    // percent_rank, first/last value with explicit frames. The window
+    // order (o_orderdate, o_orderkey) is total (o_orderkey unique), so
+    // every function is deterministic in both engines.
+    QueryDef("q54_window_breadth",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          lead("o_orderkey", 1).over(w).as("next_order"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          first_value(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_order"),
+          last_value(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("last_order"))
+          .transform(QueryDef.sorted1(_, col("o_custkey"), col("rn")))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        row_number() OVER w AS rn,
+        lead(o_orderkey) OVER w AS next_order,
+        ntile(4) OVER w AS quartile,
+        percent_rank() OVER w AS prank,
+        first_value(o_orderkey) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+        last_value(o_orderkey) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS last_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, rn""")),
+
+    // Explicit GROUPING SETS (beyond q34 ROLLUP / q44 CUBE): an
+    // arbitrary, non-hierarchical set list through the SQL surface,
+    // grouping() flags exposed, NULL keys coalesced before the sort
+    // (Spark NULLS FIRST vs DuckDB NULLS LAST would otherwise flip
+    // row order).
+    QueryDef("q55_grouping_sets",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("v_lineitem_gs")
+        s.sql("""SELECT CAST(grouping(l_returnflag) AS INT) AS g_rf,
+            CAST(grouping(l_linestatus) AS INT) AS g_ls,
+            COALESCE(l_returnflag, '<all>') AS rf,
+            COALESCE(l_linestatus, '<all>') AS ls,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+              AS sum_qty
+          FROM v_lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+            (l_linestatus), ())
+          ORDER BY g_rf, g_ls, rf, ls""")
+      },
+      Some("""SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        COALESCE(l_returnflag, '<all>') AS rf,
+        COALESCE(l_linestatus, '<all>') AS ls,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_linestatus), ())
+      ORDER BY g_rf, g_ls, rf, ls"""))
   )
 }
