@@ -320,6 +320,36 @@ object FunctionQueries {
       Some("""SELECT s_suppkey,
         CAST(to_json(struct_pack(name := s_name, nation := s_nationkey,
           bal := s_acctbal)) AS VARCHAR) AS doc
-        FROM supplier ORDER BY s_suppkey"""))
+        FROM supplier ORDER BY s_suppkey""")),
+
+    // TF-IDF: the IDF half completing q48's term frequencies — df via
+    // distinct (doc, term), corpus size as a broadcast scalar aggregate
+    // (the q37 scalar-subquery shape), score = tf * ln(N/df) rounded to
+    // 6 dp on both sides (ln may differ in the last ulp between libm
+    // and the JVM; rounding makes the hash stable, as in q25/q26).
+    QueryDef("q56_tfidf",
+      (s, d) => {
+        val w = documents(s, d)
+          .select(col("doc_id"), explode(Fns.words(col("text"))).as("w"))
+        val tf = w.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = w.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+        tf.join(df, "w")
+          .crossJoin(broadcast(
+            documents(s, d).agg(count(lit(1)).as("n"))))
+          .select(col("doc_id"), col("w"), col("tf"),
+            round(col("tf") * log(col("n") / col("df")), 6).as("tfidf"))
+          .transform(QueryDef.sorted1(_, col("doc_id"), col("w")))
+      },
+      Some("""WITH w AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
+      df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY w),
+      n AS (SELECT COUNT(*) AS n FROM documents)
+      SELECT doc_id, w, tf,
+        round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (w), n
+      ORDER BY doc_id, w"""))
   )
 }
