@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory encoding the engine's measured tuning — the
+  * one-liner entry point a reference user gets from
+  * `ObservationLakehouse(...)`. Both profiles register
+  * [[graft.plans.GraftExtensions]], so `graft_git_blob_hash`,
+  * `graft_git_blob_sha1` and `graft_vec_dot` work from plain SQL.
+  *
+  * `batch`: full-parallelism analytics. Shuffle partitions sized to the
+  * core count (not Spark's default 200 — measured pure overhead at
+  * single-node scale; on a real cluster pass `shufflePartitions` ≈ 2-3×
+  * total cores). AQE on (skew splitting, partition coalescing). The
+  * ObjectHashAggregate fallback threshold is raised from its 128-key
+  * default — the silent 2.3× cliff on every collect_list-family
+  * aggregation this engine's ordered traces rely on.
+  *
+  * `interactive`: the pruned per-problem latency profile. One shuffle
+  * partition (a pruned problem partition is a few hundred rows) and AQE
+  * off — its per-exchange re-plan + materialization is fixed latency
+  * with nothing to adapt at this size. Combine with
+  * `CanonicalQueries.interactive` on the pruned input for single-stage
+  * execution.
+  *
+  * `getOrCreate` caveat (Spark semantics, not graft's): if a session is
+  * already active in the JVM, it is returned as-is and this factory's
+  * configs/extensions do NOT apply — build the graft session first.
+  */
+object GraftSession {
+
+  private def base(master: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
+
+  def batch(master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors)
+      : SparkSession =
+    base(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+
+  def interactive(master: String = "local[*]"): SparkSession =
+    base(master)
+      .config("spark.sql.shuffle.partitions", 1)
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+}

@@ -21,11 +21,7 @@ object ArenaIngestCli {
     require(args.length >= 2,
       "usage: ArenaIngestCli <warehouse> <id>=<export.parquet>[,<solr.json>] ...")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.batch(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     val lake = new Lakehouse(spark, args(0))
 

@@ -14,10 +14,9 @@ import graft.schema.Schemas
   */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // the library session factory: extensions registered, measured
+    // defaults applied (see GraftSession)
+    val spark = graft.GraftSession.batch("local[4]", shufflePartitions = 4)
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
@@ -58,6 +57,11 @@ object Demo {
     println(s"ingested observations=${lake.observations.count()} " +
       s"code=${lake.codeImplementations.count()} " +
       s"tests=${lake.tests.count()}")
+    // native functions are live from plain SQL (GraftExtensions via
+    // GraftSession): git-interoperable content hash
+    println("git blob sha1('hello') = " + spark
+      .sql("SELECT graft_git_blob_sha1('hello') AS h")
+      .collect().head.getString(0))
 
     // canonical queries on the pruned partition
     val obs = lake.observations.filter(col("problem_id") === "p1")
