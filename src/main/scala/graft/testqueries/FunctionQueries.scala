@@ -350,6 +350,34 @@ object FunctionQueries {
       SELECT doc_id, w, tf,
         round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
       FROM tf JOIN df USING (w), n
-      ORDER BY doc_id, w"""))
+      ORDER BY doc_id, w""")),
+
+    // Correlated subqueries through the SQL surface: EXISTS (plans as a
+    // semi join), NOT EXISTS (anti join) and a correlated scalar
+    // subquery in the projection — the remaining classic SQL shapes
+    // beyond q33's DataFrame semi/anti and q37's uncorrelated scalar.
+    QueryDef("q57_correlated_subqueries",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("v_orders_cs")
+        lineitem(s, d).createOrReplaceTempView("v_lineitem_cs")
+        s.sql("""SELECT o_orderkey, o_custkey,
+            (SELECT COUNT(*) FROM v_lineitem_cs l
+             WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+          FROM v_orders_cs o
+          WHERE EXISTS (SELECT 1 FROM v_lineitem_cs l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+            AND NOT EXISTS (SELECT 1 FROM v_lineitem_cs l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity < 2)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          (SELECT COUNT(*) FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity < 2)
+        ORDER BY o_orderkey"""))
   )
 }
