@@ -16,8 +16,11 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "y", "es"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
+  // native codegen'd set-membership count (one hashed-set loop per row;
+  // the size(filter(isin)) HOF chain it replaces is interpreted per
+  // element) — semantics identical, property-tested in PlansSpec
   private def hits(ws: Column, l: Seq[String]): Column =
-    size(filter(ws, w => w.isin(l: _*)))
+    graft.plans.CountInSetExpr.countInSet(ws, l)
 
   /** Stopword-hit language scores + CJK char count, argmax with a fixed
     * tie order. Adds `predicted_lang`. */

@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
+  UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType,
+  StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count of array elements that belong to a small static string set —
+  * the stopword-hit primitive under language ID and quality scoring
+  * (SURVEY "text analysis").
+  *
+  * Replaces `size(filter(ws, w => w.isin(set: _*)))`: the higher-order
+  * `filter` evaluates its lambda through interpreted variable binding
+  * per element and materializes a filtered array per row, and `isin`
+  * is a linear scan of the list. This is one codegen'd loop over the
+  * ArrayData against a hashed set — no intermediate array, O(1) per
+  * element. Semantics match the HOF chain exactly: NULL elements are
+  * not counted (isin(null) is NULL, which filter drops), NULL input
+  * array yields NULL.
+  */
+case class CountInSetExpr(child: Expression, set: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_count_in_set"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"graft_count_in_set needs array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val hashed: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var n = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && hashed.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("set", hashed,
+      classOf[java.util.HashSet[UTF8String]].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+      int $n = 0;
+      for (int $i = 0; $i < $a.numElements(); $i++) {
+        if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i)))
+          $n++;
+      }
+      ${ev.value} = $n;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CountInSetExpr = copy(child = newChild)
+}
+
+object CountInSetExpr {
+
+  /** Column-level entry (the ops-layer API). */
+  def countInSet(c: org.apache.spark.sql.Column,
+      set: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CountInSetExpr(ColumnBridge.expression(c), set))
+  }
+
+  val identifier: FunctionIdentifier =
+    FunctionIdentifier("graft_count_in_set")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CountInSetExpr].getCanonicalName, "graft_count_in_set")
+
+  /** SQL builder: graft_count_in_set(arr, array('a','b',...)) — the
+    * second argument must be a foldable string array, evaluated once at
+    * plan time into the static set. */
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      "graft_count_in_set takes (array<string>, constant array<string>)")
+    val setExpr = children(1)
+    require(setExpr.foldable,
+      "graft_count_in_set: the set argument must be a constant array")
+    val arr = setExpr.eval(null).asInstanceOf[ArrayData]
+    val words = (0 until arr.numElements())
+      .map(i => arr.getUTF8String(i).toString)
+    CountInSetExpr(children.head, words)
+  }
+}

@@ -21,5 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GitBlobHashExpr.sha1Info, GitBlobHashExpr.sha1Builder))
     ext.injectFunction((VecDotExpr.identifier, VecDotExpr.info,
       VecDotExpr.builder))
+    ext.injectFunction((CountInSetExpr.identifier, CountInSetExpr.info,
+      CountInSetExpr.builder))
   }
 }

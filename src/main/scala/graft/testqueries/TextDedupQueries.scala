@@ -93,7 +93,9 @@ object TextDedupQueries {
       (s, d) => {
         val ws = Fns.words(col("text"))
         val nWords = size(ws)
-        val nStop = size(filter(ws, w => w.isin(stop: _*)))
+        // native set-membership count (CountInSetExpr): same value as
+        // size(filter(ws, isin)), one codegen'd loop
+        val nStop = graft.plans.CountInSetExpr.countInSet(ws, stop)
         val nPunct = size(regexp_extract_all(col("text"),
           lit("[^A-Za-z0-9\\s]"), lit(0)))
         val nonSpace = length(regexp_replace(col("text"), "\\s+", ""))
@@ -135,7 +137,8 @@ object TextDedupQueries {
     QueryDef("q18_lang_id",
       (s, d) => {
         val ws = Fns.words(lower(col("text")))
-        def hits(l: Seq[String]): Column = size(filter(ws, w => w.isin(l: _*)))
+        def hits(l: Seq[String]): Column =
+          graft.plans.CountInSetExpr.countInSet(ws, l)
         val sEn = hits(Seq("the", "a", "of", "and", "is"))
         val sDe = hits(Seq("der", "die", "das", "und", "ist"))
         val sEs = hits(Seq("el", "la", "de", "y", "es"))

@@ -99,6 +99,34 @@ class PlansSpec extends SparkSpec {
     assert(df.selectExpr("graft_vec_dot(a, b) AS d").count() == 200)
   }
 
+  test("native count-in-set: equals the size(filter(isin)) chain") {
+    import graft.plans.CountInSetExpr
+    val set = Seq("the", "a", "of", "and", "is")
+    val rnd = new scala.util.Random(11)
+    val vocab = set ++ Seq("cat", "dog", "", "THE", "ist", "la")
+    val rows = (0 until 300).map { i =>
+      i -> Array.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val df = rows.toDF("id", "ws")
+    val out = df.select(
+      CountInSetExpr.countInSet(col("ws"), set).as("native"),
+      size(filter(col("ws"), w => w.isin(set: _*))).as("hof")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // null array -> null; null elements not counted
+    val edge = Seq((1, null), (2, Array("the", null, "x")))
+      .toDF("id", "ws")
+      .select(CountInSetExpr.countInSet(col("ws"), set).as("n")).collect()
+    assert(edge(0).isNullAt(0) && edge(1).getInt(0) == 1)
+    // SQL surface with a constant set argument
+    spark.sessionState.functionRegistry.registerFunction(
+      CountInSetExpr.identifier, CountInSetExpr.info,
+      CountInSetExpr.builder)
+    val viaSql = df.selectExpr(
+      "graft_count_in_set(ws, array('the','a','of','and','is')) AS n")
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaSql == out.map(_.getInt(0)).toSeq)
+  }
+
   test("extensions object applies its function injection cleanly") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder proven above
