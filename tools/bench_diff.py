@@ -33,16 +33,23 @@ def main():
     bar = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     oq, nq = old["queries"], new["queries"]
     rows = []
+    added, removed = [], []
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
-        if a is None or b is None:
-            rows.append((float("inf"), name, a, b, "added/removed"))
+        if a is None:
+            added.append(name)
+        elif b is None:
+            removed.append(name)
         elif b < 0:
             rows.append((float("inf"), name, a, b, "FAILED"))
         elif a > 0:
             rows.append((b / a, name, a, b, ""))
     regressions = [r for r in rows if r[0] > bar]
     print(f"total: {old.get('value', 0):.1f}s -> {new.get('value', 0):.1f}s")
+    if added:
+        print(f"added: {', '.join(added)}")
+    if removed:
+        print(f"REMOVED: {', '.join(removed)}")
     if regressions:
         print(f"REGRESSIONS (> {bar}x):")
         for ratio, name, a, b, note in sorted(regressions, reverse=True):
