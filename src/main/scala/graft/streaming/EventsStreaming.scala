@@ -117,17 +117,21 @@ object EventsStreaming {
     * streaming analog of TemporalJoins.rangeJoin. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       window_ : String = "5 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col(keyCol).as("k"), col("ts").as("l_ts"),
         col("event_id").as("l_id"))
     val r = right.withWatermark("ts", watermark)
       .select(col(keyCol).as("rk"), col("ts").as("r_ts"),
         col("event_id").as("r_id"))
+    // the event-time range condition + both-side watermarks are what
+    // make an OUTER stream-stream join legal: Spark can prove when an
+    // unmatched left row can no longer match and emit it with NULLs
     l.join(r, col("k") === col("rk") &&
       col("r_ts") >= col("l_ts") &&
       col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window_") &&
-      col("l_id") =!= col("r_id"))
+      col("l_id") =!= col("r_id"), joinType)
       .select("k", "l_id", "r_id", "l_ts", "r_ts")
   }
 

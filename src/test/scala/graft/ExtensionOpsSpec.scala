@@ -72,4 +72,48 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 1L && p._2 == 3L))
     assert(!out.exists(p => p._2 == 4L && p._1 != 4L))
   }
+
+  test("left-outer stream-stream join emits unmatched rows after watermark") {
+    val srcDir = tmpDir("oj-src")
+    val outDir = tmpDir("oj-out")
+    val ckDir = tmpDir("oj-ck")
+    def ts(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2026-01-01 10:00:00"), 7L), // matched by event 2
+      (2L, ts("2026-01-01 10:02:00"), 7L),
+      (5L, ts("2026-01-01 10:00:00"), 9L), // no partner: emits with NULL
+      // far-future sentinel pushes the watermark past 10:00 + window +
+      // delay so the unmatched row's state can close and emit
+      (6L, ts("2026-01-01 13:00:00"), 1L))
+      .toDF("event_id", "ts", "user_id").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    def src = spark.readStream.schema(schema).parquet(srcDir)
+    val joined = EventsStreaming.intervalJoin(src, src, "user_id",
+      joinType = "left_outer")
+    def run(): Unit = {
+      val q = joined.writeStream
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", outDir).start()
+      q.awaitTermination(120000)
+    }
+    run()
+    // a second AvailableNow pass (checkpointed, no new files) gives the
+    // advanced watermark a batch to evict + emit remaining unmatched state
+    run()
+    val rows = spark.read.parquet(outDir)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows.contains((1L, 2L)))         // matched pair survives
+    assert(rows.contains((5L, -1L)))        // unmatched left emitted w/ NULL
+    assert(!rows.exists(p => p._1 == 5L && p._2 != -1L))
+  }
 }
