@@ -96,6 +96,76 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Keyed upsert — MERGE semantics without a table format's ACID log:
+    * rows of `updates` replace existing rows with the same `keys`, new
+    * keys are inserted. Implemented as dynamic partition overwrite: only
+    * the partitions PRESENT IN `updates` are rewritten (existing rows of
+    * those partitions are anti-joined against the update keys and
+    * retained); untouched partitions' files are never opened. At 100 TB
+    * the cost is proportional to the touched partitions, not the table.
+    * Not transactional across partitions — pair with an external catalog
+    * (Iceberg/Delta per BASELINE.json) when writers race. */
+  def upsert(table: String, updates: DataFrame, schema: StructType,
+      keys: Seq[String]): Unit = {
+    val up = align(updates, schema)
+    val touched = up.select(Schemas.partitionCols.map(col): _*).distinct()
+    val existing = load(table)
+      // partition pruning: only read the partitions being rewritten
+      .join(broadcast(touched), Schemas.partitionCols, "left_semi")
+      .join(up.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    align(existing, schema).union(up)
+      .repartition(Schemas.partitionCols.map(col): _*)
+      // materialize before writing: Spark refuses to overwrite a path
+      // its own plan reads, and rightly so — the checkpoint holds the
+      // touched partitions' merged rows (bounded by the update scope)
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(Schemas.partitionCols: _*)
+      .parquet(dir(table))
+  }
+
+  /** Per-partition file/byte statistics — the observability half of
+    * small-file maintenance: decide WHAT to compact before rewriting
+    * anything. Returns (partition dir relative path, files, bytes). */
+  def tableStats(table: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir(table))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_")) {
+        val rel = root.toUri.relativize(f.getPath.getParent.toUri).toString
+        rows += ((rel, 1L, f.getLen))
+      }
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("partition", "files", "bytes")
+      .groupBy("partition")
+      .agg(org.apache.spark.sql.functions.sum("files").as("files"),
+        org.apache.spark.sql.functions.sum("bytes").as("bytes"))
+      .orderBy("partition")
+  }
+
+  /** Targeted compaction: rewrite ONLY the partitions matching
+    * `partitionPredicate` (e.g. the fragmented ones per [[tableStats]]),
+    * via dynamic partition overwrite — the per-partition-batch mode
+    * SCALE.md prescribes for 100 TB tables, where whole-table [[compact]]
+    * is a maintenance-window operation. */
+  def compactWhere(table: String, schema: StructType,
+      partitionPredicate: org.apache.spark.sql.Column): Unit =
+    align(loadEvolved(table).filter(partitionPredicate), schema)
+      .repartition(Schemas.partitionCols.map(col): _*)
+      // see upsert: break the read-path/overwrite-path cycle; holds only
+      // the partitions being rewritten
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(Schemas.partitionCols: _*)
+      .parquet(dir(table))
+
   /** Small-file compaction (SURVEY §7 "small-file / tiny-partition
     * layout" hazard: many appends × many problems → file explosion):
     * rewrites each partition's files into one, preserving layout and

@@ -85,6 +85,40 @@ class LakehouseSpec extends SparkSpec {
     assert(n == 12)
   }
 
+  test("upsert: replaces keyed rows, inserts new, untouched partitions kept") {
+    val wh = tmpDir("wh-up")
+    val lake = new Lakehouse(spark, wh)
+    lake.append("observations", Fixtures.observations, Schemas.observations)
+    val before = lake.observations.count()
+    val keys = Seq("data_set_id", "problem_id", "implementation_id",
+      "test_id", "run_id", "environment_id", "step_id")
+    // one updated row (existing identity, new output) + one new step
+    val base = Fixtures.observations.limit(1)
+    val updates =
+      base.withColumn("output", org.apache.spark.sql.functions.lit("UPD"))
+        .union(base
+          .withColumn("step_id", org.apache.spark.sql.functions.lit(99))
+          .withColumn("output", org.apache.spark.sql.functions.lit("NEW")))
+    lake.upsert("observations", updates, Schemas.observations, keys)
+    val after = lake.observations
+    assert(after.count() == before + 1) // replaced one, inserted one
+    assert(after.filter(col("output") === "UPD").count() == 1)
+    assert(after.filter(col("step_id") === 99 &&
+      col("output") === "NEW").count() == 1)
+    // stats see the partition; targeted compaction leaves content intact
+    val stats = lake.tableStats("observations").collect()
+    assert(stats.nonEmpty && stats.forall(_.getAs[Long]("files") >= 1))
+    val rowsBefore = after.orderBy("step_id", "implementation_id",
+      "test_id").collect().toSeq
+    lake.compactWhere("observations", Schemas.observations,
+      col("problem_id") === "p1")
+    val rowsAfter = lake.observations.orderBy("step_id",
+      "implementation_id", "test_id").collect().toSeq
+    assert(rowsBefore == rowsAfter)
+    assert(lake.tableStats("observations").collect()
+      .forall(_.getAs[Long]("files") == 1)) // compacted to one file/dir
+  }
+
   test("clustered ingest append: identical contents, single exchange") {
     import graft.ingest.ArenaIngest
     // contents parity: clustered single-shuffle path == default path
