@@ -80,7 +80,14 @@ object CanonicalQueries {
   /** Q2 — behavioral clustering (`benchmark_behavioral_clustering.py:
     * 49-96`): per-test trace signatures → per-impl fingerprint → group by
     * fingerprint → clusters ranked by size. Returns
-    * (cluster_size, implementations, fingerprint_hash). */
+    * (cluster_size, implementations, fingerprint_hash).
+    *
+    * Batch-scale note: on LARGE inputs, pre-partition the observations
+    * with `.repartition(col("implementation_id"))` before calling — the
+    * single upfront exchange satisfies both signature aggregations
+    * (subset-key reuse, measured 1.6× on the sf0.1 analog). Do NOT
+    * pre-partition on the [[interactive]] path: the extra exchange
+    * defeats its single-stage execution. */
   def behavioralClustering(observations: DataFrame): DataFrame = {
     val sigs = observations
       .groupBy(col("implementation_id"), col("test_id"), col("run_id"))
