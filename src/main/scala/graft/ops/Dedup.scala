@@ -140,8 +140,19 @@ object Dedup {
     // partition-by-s exchange is exactly the clustering the pair join
     // needs, so Catalyst reuses it, while the anti-join variant pays an
     // extra full aggregation pass over the shingle rows.)
-    val sz = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    sh.as("x").join(sh.as("y"),
+    // the capped shingle set has FOUR consumers (both self-join sides +
+    // both size joins); a lazy local checkpoint materializes it once
+    // per query instead of re-running Generate+distinct+df-window per
+    // consumer (exchange reuse alone doesn't cover the window on top;
+    // measured 1.25×). NOT persist(): that would register in the
+    // cross-query cache manager and serve repeated calls from cache —
+    // a materialized view, not a faster query. At 100 TB note the
+    // lineage cut: an executor loss forfeits its blocks, so on flaky
+    // clusters prefer a reliable checkpoint dir (or accept recompute
+    // by dropping the checkpoint — the join still reuses exchanges).
+    val shC = sh.localCheckpoint(false)
+    val sz = shC.groupBy("id").agg(count(lit(1)).as("sz"))
+    shC.as("x").join(shC.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
