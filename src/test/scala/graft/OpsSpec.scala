@@ -130,6 +130,14 @@ class OpsSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 6L))
   }
 
+  test("near-dup groups: empty pair set is a no-op") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.nearDupGroups(noPairs, "a_id", "b_id").count() == 0)
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.dropNearDuplicates(docs, "doc_id", noPairs)
+      .count() == 2)
+  }
+
   test("curation pipeline: quality gate, lang id, keep-first dedup") {
     val long = ("the cat is on the mat and the dog is of the house " * 2)
       .trim // 24 words, stopword-rich -> passes the gate
