@@ -138,6 +138,11 @@ object CanonicalQueries {
         (col("sig") === col("consensus_sig")).cast("int").as("agree"),
         explode(col("impls")).as("implementation_id"))
       .groupBy("implementation_id")
+      // countDistinct is REQUIRED here (unlike the q50 lineitem analog,
+      // which has no run dimension): an implementation whose runs
+      // produce different sigs for one test appears in two vote groups
+      // for that test, so (implementation, test) rows are not unique
+      // after the explode
       .agg(countDistinct(col("test_id")).as("n_tests"),
         sum(col("agree")).as("n_agree"),
         (sum(col("agree")).cast("double") /

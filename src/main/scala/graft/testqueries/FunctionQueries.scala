@@ -241,10 +241,14 @@ object FunctionQueries {
             (col("sig") === col("consensus_sig")).cast("int").as("agree"),
             explode(col("supps")).as("implementation"))
           .groupBy("implementation")
-          .agg(countDistinct(col("l_orderkey")).as("n_tests"),
+          // plain count, not countDistinct: a supplier has exactly ONE
+          // sig per order, so it appears in exactly one (order, sig)
+          // vote group — (implementation, order) rows are unique after
+          // the explode, and dropping the distinct kills the 2x Expand
+          .agg(count(lit(1)).as("n_tests"),
             sum(col("agree")).as("n_agree"),
             (sum(col("agree")).cast("double") /
-              countDistinct(col("l_orderkey"))).as("agreement_ratio"))
+              count(lit(1))).as("agreement_ratio"))
           .transform(QueryDef.sorted1(_, desc("agreement_ratio"),
             col("implementation")))
       },
