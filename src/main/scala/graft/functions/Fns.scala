@@ -68,16 +68,27 @@ object Fns {
 
   /** Git-blob-style content normalization (reference `arena.py:11-28`):
     * CRLF and lone CR -> LF (Python's two-step replace), strip trailing
-    * whitespace on each line (Python `rstrip()` — space/tab/VT/FF once
-    * CRs are gone), strip trailing blank lines. Pure regexp chain;
-    * DuckDB equivalent uses the same patterns with the 'g' flag.
+    * whitespace on each line (full Python `rstrip()` character class —
+    * space/tab/VT/FF plus the Unicode whitespace Python's `str.isspace`
+    * accepts: FS-US controls, NEL, NBSP, ogham/en-quad..hair spaces,
+    * LS/PS, NNBSP, MMSP, ideographic space; `\n`/`\r` excluded because
+    * CRs are already normalized and lines split on LF), strip trailing
+    * blank lines. `(?d)` (UNIX_LINES) keeps Java's `$` anchored at `\n`
+    * only — without it Java treats NEL/LS/PS as line terminators where
+    * Python `split('\n')` and DuckDB's RE2 do not. Pure regexp chain;
+    * the DuckDB mirror uses the identical patterns (RE2 `(?m)$` is
+    * already LF-only) with the 'g' flag.
     */
+  val rstripClass: String = "[ \t\\x0B\f\\x{1C}-\\x{1F}\\x{85}\\x{A0}" +
+    "\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}" +
+    "\\x{3000}]"
+
   def normalizeSource(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(c, "\r\n?", "\n"),
-        "(?m)[ \t\\x0B\f]+$", ""),
-      "\n+$", "")
+        s"(?md)$rstripClass+$$", ""),
+      "(?d)\n+$", "")
 
   /** Git-blob-style content hash (reference `arena.py:31-45`) with SHA-256
     * in place of SHA-1 (DuckDB 1.0 ships sha256 but not sha1; the semantic

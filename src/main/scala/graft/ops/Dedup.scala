@@ -204,6 +204,16 @@ object Dedup {
       labels = next.drop("__changed")
       iter += 1
     }
+    if (changed > 0) {
+      // Exiting at maxIter without a fixpoint means chain-shaped
+      // components deeper than maxIter hops are still split — callers
+      // would silently keep several representatives of one dup cluster.
+      // Fail loudly; the caller chooses whether to raise maxIter.
+      throw new IllegalStateException(
+        s"nearDupGroups did not converge after $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter — rounds " +
+          "needed = max component diameter, which this graph exceeds")
+    }
     labels.withColumnRenamed("label", "group_id")
   }
 

@@ -92,19 +92,27 @@ object Multimodal {
     }
 
     /** Walk JPEG marker segments to the first SOFn frame header (C0-CF
-      * minus the non-frame C4/C8/CC): height at +5, width at +7. */
+      * minus the non-frame C4/C8/CC): height at +5, width at +7.
+      * Consecutive 0xFF bytes before a marker are legal fill/padding
+      * (ITU T.81 §B.1.1.2) and carry no length — skip them rather than
+      * reading a bogus length from the padding. */
     private def jpegSof(b: Array[Byte]): Option[(Int, Int)] = {
       var i = 2
-      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
-        val marker = b(i + 1) & 0xff
+      while (i + 1 < b.length && (b(i) & 0xff) == 0xff) {
+        // skip 0xFF fill bytes: the marker byte is the first non-FF
+        var j = i + 1
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+        if (j >= b.length) return None
+        val marker = b(j) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          return if (i + 8 < b.length)
-            Some((be16(b, i + 7), be16(b, i + 5))) else None
+          return if (j + 7 < b.length)
+            Some((be16(b, j + 6), be16(b, j + 4))) else None
         }
-        // standalone markers (D0-D9) have no length field
-        if (marker >= 0xd0 && marker <= 0xd9) i += 2
-        else i += 2 + be16(b, i + 2)
+        // standalone markers (RST0-7, SOI, EOI, TEM) have no length field
+        if ((marker >= 0xd0 && marker <= 0xd9) || marker == 0x01) i = j + 1
+        else if (j + 2 < b.length) i = j + 1 + be16(b, j + 1)
+        else return None
       }
       None
     }

@@ -103,9 +103,18 @@ object CountInSetExpr {
     val setExpr = children(1)
     require(setExpr.foldable,
       "graft_count_in_set: the set argument must be a constant array")
+    require(setExpr.dataType.isInstanceOf[ArrayType] &&
+      setExpr.dataType.asInstanceOf[ArrayType].elementType == StringType,
+      s"graft_count_in_set: the set argument must be array<string>, got " +
+        setExpr.dataType.simpleString)
     val arr = setExpr.eval(null).asInstanceOf[ArrayData]
-    val words = (0 until arr.numElements())
-      .map(i => arr.getUTF8String(i).toString)
+    require(arr != null,
+      "graft_count_in_set: the set argument must not be NULL")
+    val words = (0 until arr.numElements()).flatMap { i =>
+      // NULL set elements can never match (isin(null) is NULL → dropped
+      // by filter in the HOF form this expression replaces) — skip them.
+      if (arr.isNullAt(i)) None else Some(arr.getUTF8String(i).toString)
+    }
     CountInSetExpr(children.head, words)
   }
 }

@@ -52,12 +52,13 @@ case class GitBlobHashExpr(child: Expression, sha1: Boolean = false)
 object GitBlobHashExpr {
 
   /** JVM-side hash; the regexes mirror Fns.normalizeSource exactly
-    * (CRLF/CR to LF, per-line rstrip of space/tab/VT/FF, trailing blank
-    * lines dropped). */
+    * (CRLF/CR to LF, per-line rstrip of the full Python whitespace
+    * class, trailing blank lines dropped; `(?d)` keeps `$` LF-anchored
+    * like Python split('\n') / RE2). */
   def hash(s: String, sha1: Boolean): String = {
     val norm = s.replaceAll("\\r\\n?", "\n")
-      .replaceAll("(?m)[ \\t\\x0B\\f]+$", "")
-      .replaceAll("\\n+$", "")
+      .replaceAll(s"(?md)${graft.functions.Fns.rstripClass}+$$", "")
+      .replaceAll("(?d)\\n+$", "")
     val body = norm.getBytes(StandardCharsets.UTF_8)
     val header = s"blob ${body.length}\u0000"
       .getBytes(StandardCharsets.UTF_8)

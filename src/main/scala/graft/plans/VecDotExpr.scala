@@ -33,6 +33,15 @@ case class VecDotExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_vec_dot"
 
+  /** Always nullable: mismatched lengths or a NULL element yield NULL
+    * even when both child arrays are non-nullable. Without this override
+    * BinaryExpression would report `left.nullable || right.nullable`,
+    * and with two non-nullable inputs codegen's `ev.isNull` would be the
+    * literal `false` — the `isNull = true` branch above would not
+    * compile, and the interpreted path would declare a value that can be
+    * NULL as non-nullable. */
+  override def nullable: Boolean = true
+
   private def elemIsDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false

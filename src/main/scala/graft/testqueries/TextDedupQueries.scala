@@ -68,7 +68,8 @@ object TextDedupQueries {
         SELECT doc_id,
           regexp_replace(regexp_replace(
             regexp_replace(text, '\r\n?', chr(10), 'g'),
-            '(?m)[ \t\x0b\f]+$', '', 'g'), '\n+$', '') AS t
+            '(?m)[ \t\x0b\f\x{1c}-\x{1f}\x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+$',
+            '', 'g'), '\n+$', '') AS t
         FROM documents)
       SELECT doc_id,
         sha256('blob ' || CAST(strlen(t) AS VARCHAR) || chr(0) || t)

@@ -37,6 +37,29 @@ class FnsSpec extends SparkSpec {
       "70d9baf12fa9d600187b2db511c834e89160025f91133d72a222ce19ee6b7e74")
   }
 
+  test("normalization strips Unicode whitespace like Python rstrip") {
+    // NEL / NBSP / LS / ideographic+hair space at line ends are Python
+    // `str.isspace()` whitespace: rstrip() removes them. LS/PS are NOT
+    // line terminators for Python split('\n') — a mid-line LS must
+    // survive (the (?d) UNIX_LINES flag pins Java's (?m)$ to \n only).
+    val text = "a\u0085\n" +      // trailing NEL
+      "b \u00a0\n" +              // space + NBSP
+      "mid\u2028kept\n" +         // LS mid-line: must survive
+      "c\u3000\u200a\n" +        // ideographic + hair space
+      "d\u202f\u001c\n" +        // NNBSP + FS control
+      "e\u2029"                    // trailing PS, no final LF
+    val norm = "a\nb\nmid\u2028kept\nc\nd\ne"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest(
+      (s"blob ${norm.getBytes("UTF-8").length}\u0000" + norm)
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Seq(text).toDF("s").select(Fns.gitBlobHash(col("s")))
+      .collect().head.getString(0)
+    assert(got == expect)
+    // the native expression's JVM regex chain must agree bit-for-bit
+    assert(graft.plans.GitBlobHashExpr.hash(text, sha1 = false) == expect)
+  }
+
   test("gitBlobHash uses byte length for multibyte text") {
     val text = "中文"
     val md = java.security.MessageDigest.getInstance("SHA-256")

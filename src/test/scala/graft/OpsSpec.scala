@@ -130,6 +130,21 @@ class OpsSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 6L))
   }
 
+  test("near-dup groups: non-convergence at maxIter fails loudly") {
+    // a 5-hop chain cannot converge in 2 rounds of min-label
+    // propagation — silent exit would keep several representatives of
+    // one dup cluster, so the operator must throw instead
+    val chain = (1L until 6L).map(i => (i + 1, i)).toDF("a_id", "b_id")
+    val err = intercept[IllegalStateException] {
+      Dedup.nearDupGroups(chain, "a_id", "b_id", maxIter = 2).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // and the same graph converges fine with the default budget
+    val ok = Dedup.nearDupGroups(chain, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+
   test("near-dup groups: empty pair set is a no-op") {
     val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.nearDupGroups(noPairs, "a_id", "b_id").count() == 0)
@@ -212,6 +227,16 @@ class OpsSpec extends SparkSpec {
       0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x02, 0x00, 0x03, 0x01,
       0x01, 0x11, 0x00).map(_.toByte)
     assert(ImageHeaders.dimensions(jpeg).contains((3, 2)))
+    // JPEG with 0xFF fill/padding bytes before markers (legal per
+    // T.81 §B.1.1.2) and a TEM (0x01) standalone marker — the walk
+    // must skip padding instead of reading a bogus length from it
+    val jpegPadded = Array(
+      0xff, 0xd8,                       // SOI
+      0xff, 0xff, 0xff, 0x01,           // fill bytes + TEM (standalone)
+      0xff, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // padded APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x07, 0x00, 0x06, 0x01,
+      0x01, 0x11, 0x00).map(_.toByte)   // SOF0: height=7, width=6
+    assert(ImageHeaders.dimensions(jpegPadded).contains((6, 7)))
     // GIF89a logical screen 4x5 (little-endian dims)
     val gif = "GIF89a".getBytes ++
       Array(0x04, 0x00, 0x05, 0x00, 0x00, 0x00, 0x00).map(_.toByte)

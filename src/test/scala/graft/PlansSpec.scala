@@ -99,6 +99,51 @@ class PlansSpec extends SparkSpec {
     assert(df.selectExpr("graft_vec_dot(a, b) AS d").count() == 200)
   }
 
+  test("vec dot declares nullable and NULLs on non-nullable inputs") {
+    import graft.plans.VecDotExpr
+    // array(lit...) columns are non-nullable: without the nullable=true
+    // override BinaryExpression would report false, codegen's isNull
+    // would be the literal `false` (compile failure → interpreted
+    // fallback) and the NULL-on-mismatch result would violate the
+    // declared schema. Exercise both codegen and the schema claim.
+    val df = spark.range(100).select(
+      array(lit(1f), lit(2f)).as("a"),
+      array(lit(1f), lit(2f), lit(3f)).as("b"),
+      array(lit(4f), lit(5f)).as("c"))
+    val out = df.select(
+      VecDotExpr.dot(col("a"), col("b")).as("mismatch"),
+      VecDotExpr.dot(col("a"), col("c")).as("ok"))
+    assert(out.schema("mismatch").nullable)
+    val rows = out.collect()
+    assert(rows.forall(_.isNullAt(0)))
+    assert(rows.forall(_.getDouble(1) == 14.0))
+  }
+
+  test("count-in-set SQL builder validates the constant set argument") {
+    import graft.plans.CountInSetExpr
+    spark.sessionState.functionRegistry.registerFunction(
+      CountInSetExpr.identifier, CountInSetExpr.info,
+      CountInSetExpr.builder)
+    val df = Seq((1, Array("the", "cat"))).toDF("id", "ws")
+    // NULL elements in the constant set can never match — skipped, not NPE
+    val n = df.selectExpr(
+      "graft_count_in_set(ws, array('the', NULL)) AS n")
+      .collect().head.getInt(0)
+    assert(n == 1)
+    // non-string constant array → clear require() message, not a CCE
+    val err = intercept[Exception] {
+      df.selectExpr("graft_count_in_set(ws, array(1, 2)) AS n").collect()
+    }
+    assert(err.getMessage.contains("array<string>"))
+    // NULL set → clear message, not an NPE
+    val err2 = intercept[Exception] {
+      df.selectExpr(
+        "graft_count_in_set(ws, CAST(NULL AS ARRAY<STRING>)) AS n")
+        .collect()
+    }
+    assert(err2.getMessage.contains("must not be NULL"))
+  }
+
   test("native count-in-set: equals the size(filter(isin)) chain") {
     import graft.plans.CountInSetExpr
     val set = Seq("the", "a", "of", "and", "is")
