@@ -71,14 +71,21 @@ object ProblemBench {
     // prepared-statement behavior any interactive server has (DuckDB
     // replans per call, but its planner costs ~1 ms).
     val reps = sys.env.getOrElse("SPARK_GRAFT_PB_REPS", "10").toInt
+    // Each rep fully materializes the result with collect() — the
+    // closest analog of the reference's `.fetchdf()` (every row crosses
+    // into the driver). A bare count() would let Catalyst prune the very
+    // work being measured: ColumnPruning drops the pivot's per-impl
+    // min(output) aggregates and the join's wide payload columns, and
+    // EliminateSorts removes the final ORDER BY (same hazard Bench.scala
+    // documents for the batch path).
     def bench(name: String, q: String => DataFrame): Unit = {
-      problems.take(3).foreach(p => q(p).count()) // warm-up
+      problems.take(3).foreach(p => q(p).collect()) // warm-up
       System.gc() // don't bill this query for a neighbor's garbage
       val times = problems.flatMap { p =>
         val df = q(p)
         (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          df.count()
+          df.collect()
           (System.nanoTime() - t0) / 1e6
         }
       }.sorted
