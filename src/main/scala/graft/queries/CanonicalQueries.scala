@@ -89,20 +89,43 @@ object CanonicalQueries {
     * pre-partition on the [[interactive]] path: the extra exchange
     * defeats its single-stage execution. */
   def behavioralClustering(observations: DataFrame): DataFrame = {
+    // Fused fingerprint: stages 1+2 (per-(test,run) signature →
+    // per-impl fingerprint) as ONE native TypedImperativeAggregate —
+    // one operator pair instead of two ObjectHashAggregate pairs with
+    // interpreted to_json per group (graft.plans.TraceFingerprintAgg;
+    // cluster membership spec-asserted equal to the composed form).
+    val fps = observations
+      .groupBy(col("implementation_id"))
+      .agg(graft.plans.TraceFingerprintAgg.fingerprint(
+        col("test_id"), col("run_id"), col("step_id"), col("output"))
+        .as("fp"))
+    clusterByFingerprint(fps)
+  }
+
+  /** The composed (pure-built-in) clustering pipeline: three groupBy
+    * stages with md5/to_json fingerprints — bit-reproducible in any
+    * SQL engine (the q09 DuckDB-mirrored analog uses this shape). Same
+    * cluster membership as [[behavioralClustering]]; prefer the fused
+    * form on latency paths. */
+  def behavioralClusteringComposed(observations: DataFrame): DataFrame = {
     val sigs = observations
       .groupBy(col("implementation_id"), col("test_id"), col("run_id"))
       .agg(traceSig.as("sig"))
     val fps = sigs
       .groupBy(col("implementation_id"))
       // md5(sig): fixed-width keys through the shuffle (SURVEY §7)
-      .agg(to_json(Fns.orderedCollect(
-        struct(col("test_id"), col("run_id")), md5(col("sig")))).as("fp"))
-    fps.groupBy(md5(col("fp")).as("fingerprint_hash"))
+      .agg(md5(to_json(Fns.orderedCollect(
+        struct(col("test_id"), col("run_id")), md5(col("sig"))))).as("fp"))
+    clusterByFingerprint(fps)
+  }
+
+  /** Final clustering stage over (implementation_id, fp). */
+  private def clusterByFingerprint(fps: DataFrame): DataFrame =
+    fps.groupBy(col("fp").as("fingerprint_hash"))
       .agg(count(lit(1)).as("cluster_size"),
         sort_array(collect_list(col("implementation_id")))
           .as("implementations"))
       .orderBy(desc("cluster_size"), col("fingerprint_hash"))
-  }
 
   /** Consensus oracle = the largest behavioral cluster's implementations
     * (`notebooks/analysis.ipynb` cell 4: "clusters are ranked by cluster

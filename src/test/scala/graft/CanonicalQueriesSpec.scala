@@ -16,6 +16,32 @@ class CanonicalQueriesSpec extends SparkSpec {
     assert(out(1).getAs[scala.collection.Seq[String]]("implementations").toSeq == Seq("i3"))
   }
 
+  test("fused fingerprint clustering equals the composed pipeline") {
+    // the native TraceFingerprintAgg and the md5/to_json chain use
+    // different injective encodings — hash VALUES differ, cluster
+    // MEMBERSHIP must not
+    def membership(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("cluster_size"),
+        r.getAs[scala.collection.Seq[String]]("implementations").toSeq))
+        .toSeq
+    assert(membership(
+        CanonicalQueries.behavioralClustering(Fixtures.observations)) ==
+      membership(CanonicalQueries.behavioralClusteringComposed(
+        Fixtures.observations)))
+  }
+
+  test("fused fingerprint merges partial buffers across partitions") {
+    // repartition(7) forces partial/merge paths (serialize/deserialize)
+    // through the TypedImperativeAggregate; result must be identical to
+    // the single-partition run
+    val spread = Fixtures.observations.repartition(7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(CanonicalQueries.behavioralClustering(spread)) ==
+      rows(CanonicalQueries.behavioralClustering(
+        Fixtures.observations.coalesce(1))))
+  }
+
   test("consensus oracle is the largest cluster") {
     val row = CanonicalQueries.consensusOracle(Fixtures.observations)
       .collect().head
