@@ -39,9 +39,13 @@ object Bench {
     qs.foreach { case (_, fn) =>
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    // Two timed passes, min per query: single-pass numbers swing ±40%
-    // from GC/scheduler noise in local mode. A throwing query reports -1,
-    // never the (small, healthy-looking) time-to-exception.
+    // Timed passes, min per query: single-pass numbers swing ±40% from
+    // GC/scheduler noise in local mode. Sub-second queries swing the
+    // most relative to their own time (they flip in/out of bench_diff's
+    // regression bar from noise alone), so they get a THIRD pass —
+    // min-of-3 keeps round-over-round regression detection meaningful
+    // at ~1s extra total cost. A throwing query reports -1, never the
+    // (small, healthy-looking) time-to-exception.
     def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String)
         => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -57,7 +61,13 @@ object Bench {
       System.gc()
       val a = timed(name, fn)
       val b = timed(name, fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val best = math.min(a, b)
+      name -> (if (a < 0 || b < 0) -1.0
+        else if (best >= 1.0) best
+        else {
+          val c = timed(name, fn)
+          if (c < 0) -1.0 else math.min(best, c)
+        })
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

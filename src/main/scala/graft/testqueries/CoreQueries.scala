@@ -57,6 +57,16 @@ object CoreQueries {
     // broadcast — at 100 TB the fact side never shuffles for this join.
     QueryDef("q03_three_way_join",
       (s, d) => lineitem(s, d)
+        // range-partition the RAW fact rows on the output sort key BEFORE
+        // the joins (the q05/q08 discipline): sampling runs against the
+        // cheap pruned scan — a global orderBy on the join OUTPUT would
+        // re-execute scan+joins for its sampling pass (measured slower),
+        // and a single-task final sort (repartition(1)) is a straight
+        // scale-killer at 100× this result size. Broadcast hash joins,
+        // Filter and Project all preserve the streamed side's
+        // RangePartitioning, so sortWithinPartitions at the end is a
+        // PARALLEL total order with zero extra exchanges.
+        .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
         .join(broadcast(orders(s, d)),
           col("l_orderkey") === col("o_orderkey"), "inner")
         .join(broadcast(customer(s, d)),
@@ -65,11 +75,7 @@ object CoreQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("o_orderpriority"), col("c_name"), col("c_mktsegment"),
           col("l_extendedprice"))
-        // measured: a parallel global orderBy is SLOWER here (2.5s vs
-        // 1.9s) — range sampling re-executes the scan+joins, which costs
-        // more than dragging the ~550k result rows through one sort task
-        .transform(QueryDef.sorted1(_, col("l_orderkey"),
-          col("l_linenumber"))),
+        .sortWithinPartitions("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber, o_orderpriority, c_name,
         c_mktsegment, l_extendedprice
         FROM lineitem
