@@ -94,11 +94,22 @@ object ArenaIngest {
         col("specified_oracle"))
   }
 
+  /** Content hash selector: the reference's dedup keys are REAL git
+    * blob SHA-1s (`arena.py:31-45`), so `sha1 = true` makes the
+    * ingested hashes interchangeable with `git hash-object` output /
+    * an existing reference lakehouse. The default stays SHA-256 — the
+    * DuckDB-oracle-checkable variant the declared queries use. */
+  private def contentHash(c: org.apache.spark.sql.Column,
+      sha1: Boolean): org.apache.spark.sql.Column =
+    if (sha1) Fns.gitBlobHashSha1(c) else Fns.gitBlobHash(c)
+
   /** Code implementations from the same export's metadata rows
     * (`arena.py:163-230`): Y = -1 rows carry the implementation source;
     * oracle rows are excluded from the dimension (`arena.py:98`),
-    * content-hashed with the git-blob hash (`arena.py:201-217`). */
-  def codeFromArena(raw: DataFrame, dataSetId: String): DataFrame =
+    * content-hashed with the git-blob hash (`arena.py:201-217`);
+    * `sha1 = true` for git-interop hashes (see [[contentHash]]). */
+  def codeFromArena(raw: DataFrame, dataSetId: String,
+      sha1: Boolean = false): DataFrame =
     raw.filter(col("Y") === -1 && col("SYSTEMID") =!= "oracle" &&
         col("SYSTEMID") =!= "abstraction" && col("TYPE") === "interface")
       .groupBy(col("ABSTRACTIONID"), col("SYSTEMID"), col("VARIANTID"),
@@ -111,7 +122,7 @@ object ArenaIngest {
         implementationId(col("SYSTEMID"), col("VARIANTID"),
           col("ADAPTERID")).as("implementation_id"),
         col("source_code"),
-        Fns.gitBlobHash(col("source_code")).as("code_hash"),
+        contentHash(col("source_code"), sha1).as("code_hash"),
         current_timestamp().as("created_at"),
         (size(split(col("source_code"), "\n")) )
           .as("lines_of_code"),
@@ -125,7 +136,8 @@ object ArenaIngest {
     * (`TYPE = 'interface'`); grouped conditional MAX per
     * `(EXECUTIONID, ABSTRACTIONID, SHEETID)`, git-blob content hash,
     * rows with no sheet source dropped (`arena.py:186-187`). */
-  def testsFromArena(raw: DataFrame, dataSetId: String): DataFrame =
+  def testsFromArena(raw: DataFrame, dataSetId: String,
+      sha1: Boolean = false): DataFrame =
     raw.filter(col("Y") === -1 && col("SYSTEMID") === "abstraction" &&
         (col("TYPE") === "stimulussheet" || col("TYPE") === "interface"))
       .groupBy(col("EXECUTIONID"), col("ABSTRACTIONID"), col("SHEETID"))
@@ -141,7 +153,7 @@ object ArenaIngest {
         col("SHEETID").as("test_id"),
         col("source_code"),
         col("focal_interface"),
-        Fns.gitBlobHash(col("source_code")).as("code_hash"),
+        contentHash(col("source_code"), sha1).as("code_hash"),
         current_timestamp().as("created_at"),
         lit("java").as("language"))
 
@@ -155,7 +167,7 @@ object ArenaIngest {
     * `m_static_complexity_td`. Fields absent from a given export are
     * null (the reference's dict .get defaults). */
   def codeFromSolrJson(spark: SparkSession, path: String,
-      dataSetId: String): DataFrame = {
+      dataSetId: String, sha1: Boolean = false): DataFrame = {
     val docs = spark.read.option("multiLine", "true").json(path)
       .select(explode(col("response.docs")).as("doc"))
     val fields = docs.select(col("doc.*")).schema.fieldNames.toSet
@@ -173,7 +185,7 @@ object ArenaIngest {
         element_at(col("doc.abstractionId"), 1).as("problem_id"),
         concat(col("doc.id"), lit("_original_0")).as("implementation_id"),
         source.as("source_code"),
-        Fns.gitBlobHash(source).as("code_hash"),
+        contentHash(source, sha1).as("code_hash"),
         current_timestamp().as("created_at"),
         listField("m_static_loc_td").cast("int").as("lines_of_code"),
         listField("m_static_complexity_td").cast("int")

@@ -15,6 +15,10 @@ import graft.schema.Schemas
   * Usage:
   *   runMain graft.tools.ArenaIngestCli <warehouse> \
   *     <dataSetId>=<arenaExport.parquet>[,<solrExport.json>] ...
+  *
+  * SPARK_GRAFT_SHA1=true switches content hashes to real git-blob
+  * SHA-1s (interchangeable with the reference's dedup keys / `git
+  * hash-object`); default is the DuckDB-checkable SHA-256.
   */
 object ArenaIngestCli {
   def main(args: Array[String]): Unit = {
@@ -24,6 +28,7 @@ object ArenaIngestCli {
     val spark = graft.GraftSession.batch(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     val lake = new Lakehouse(spark, args(0))
+    val sha1 = sys.env.get("SPARK_GRAFT_SHA1").exists(_.toBoolean)
 
     def timed(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
@@ -42,14 +47,14 @@ object ArenaIngestCli {
       ps.drop(1).foreach { solr =>
         timed(s"code $id") {
           lake.append("code_implementations",
-            ArenaIngest.codeFromSolrJson(spark, solr, id),
+            ArenaIngest.codeFromSolrJson(spark, solr, id, sha1),
             Schemas.codeImplementations)
         }
       }
       if (ps.length == 1)
         timed(s"code $id") {
           lake.append("code_implementations",
-            ArenaIngest.codeFromArena(raw, id),
+            ArenaIngest.codeFromArena(raw, id, sha1),
             Schemas.codeImplementations)
         }
       timed(s"obs $id") {
@@ -63,7 +68,7 @@ object ArenaIngestCli {
           clustered = true)
       }
       timed(s"tests $id") {
-        lake.append("tests", ArenaIngest.testsFromArena(raw, id),
+        lake.append("tests", ArenaIngest.testsFromArena(raw, id, sha1),
           Schemas.tests)
       }
     }

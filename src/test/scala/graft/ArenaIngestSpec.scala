@@ -45,6 +45,26 @@ class ArenaIngestSpec extends SparkSpec {
     assert(r.getAs[Int]("lines_of_code") == 1)
   }
 
+  test("sha1 ingest hashes are interchangeable with git hash-object") {
+    // vectors from real `git hash-object --stdin` on the source content
+    // (normalization is a no-op for these): the reference's dedup keys
+    // are genuine git blob SHA-1s (arena.py:31-45), so sha1 = true makes
+    // ingested hashes join an existing reference lakehouse
+    val code = ArenaIngest.codeFromArena(Fixtures.rawArena, "DS",
+      sha1 = true).collect().head
+    assert(code.getAs[String]("source_code") == "class A {}")
+    assert(code.getAs[String]("code_hash") ==
+      "37bdd2221a71b58576da9d3c2dc0ef0998263652")
+    val t = ArenaIngest.testsFromArena(Fixtures.rawArena, "DS",
+      sha1 = true).collect().head
+    assert(t.getAs[String]("source_code") == """{"cells":{"A1":"create"}}""")
+    assert(t.getAs[String]("code_hash") ==
+      "359bd20cee6ddc94126e32f6c2b880a7c59f7fcd")
+    // default stays the DuckDB-checkable sha256
+    assert(ArenaIngest.codeFromArena(Fixtures.rawArena, "DS")
+      .collect().head.getAs[String]("code_hash").length == 64)
+  }
+
   test("test ingest: grouped sheet source + focal interface, null dropped") {
     val tests = ArenaIngest.testsFromArena(Fixtures.rawArena, "DS").collect()
     // t2 has an interface row but no stimulussheet -> dropped
