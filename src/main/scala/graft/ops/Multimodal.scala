@@ -24,16 +24,18 @@ final case class MediaFeatures(
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per partition.
   *
-  * Image HEADER decode is real: [[ImageHeaderDecoder]] parses PNG IHDR /
-  * JPEG SOF / GIF logical-screen headers for true width/height, pure
-  * JVM, no codec dependencies. Pixel decode, audio and video stay
-  * STUBBED ([[FakeDecoder]]: deterministic metadata and a 16-dim
-  * byte-histogram feature — no codecs in this environment). The
-  * Spark-side plumbing — schema, binary column handling,
-  * partition-batched decode via `mapPartitions` (the JVM analog of
-  * `mapInPandas`: one decoder instantiation per partition, streaming
-  * over rows), partitioning — is real and tested. Swap [[Decoder]] for
-  * a codec-backed one in production.
+  * Image decode is REAL end-to-end: [[ImageIODecoder]] decodes PNG /
+  * JPEG / GIF / BMP pixels through the JDK's `javax.imageio` (true
+  * dimensions + a 16-bin luminance-histogram content feature), and
+  * [[ImageHeaderDecoder]] parses PNG IHDR / JPEG SOF / GIF
+  * logical-screen headers when only dimensions are needed (no pixel
+  * pass). Audio and video stay STUBBED ([[FakeDecoder]]: deterministic
+  * metadata and a 16-dim byte-histogram feature — no codecs in this
+  * environment). The Spark-side plumbing — schema, binary column
+  * handling, partition-batched decode via `mapPartitions` (the JVM
+  * analog of `mapInPandas`: one decoder instantiation per partition,
+  * streaming over rows), partitioning — is real and tested. Swap
+  * [[Decoder]] for a codec-backed one for audio/video in production.
   */
 object Multimodal {
 
@@ -122,7 +124,8 @@ object Multimodal {
     * JPEG / GIF container headers; items that are not recognized image
     * containers (audio, video, unparseable bytes) fall back to
     * [[FakeDecoder]]'s deterministic stub metadata. The feature vector
-    * stays the byte histogram — pixel decode needs a codec. */
+    * stays the byte histogram — for real pixel features use
+    * [[ImageIODecoder]]. */
   object ImageHeaderDecoder extends Decoder {
     def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
       items.map { m =>
@@ -132,6 +135,56 @@ object Multimodal {
           case None => base
         }
       }
+  }
+
+  /** REAL image pixel decoder, zero new dependencies: `javax.imageio`
+    * ships in the JDK and decodes PNG / JPEG / GIF / BMP. Feature =
+    * 16-bin luminance histogram over the decoded pixels (ITU BT.601
+    * integer weights, bin = luma >> 4), normalized by pixel count —
+    * a real, deterministic content feature (identical images ⇒
+    * identical vectors regardless of byte-level encoding differences).
+    * Non-image items and undecodable bytes fall back to
+    * [[ImageHeaderDecoder]] (audio/video decode still needs external
+    * codecs — the one remaining stub). Per-partition instantiation via
+    * [[decodeFeatures]] amortizes ImageIO's plugin-registry lookup.
+    * Production note: for throughput on large images, read the raster
+    * row-wise (`getRGB(x, y, w, 1, buf, 0, w)`) exactly as done here —
+    * per-pixel getRGB calls cross the ColorModel per call. */
+  object ImageIODecoder extends Decoder {
+    def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
+      items.map { m =>
+        if (m.media_type != "image") fallback(m)
+        else try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.content))
+          if (img == null) fallback(m)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val hist = new Array[Float](16)
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val rgb = row(x)
+                val lum = (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                hist(lum >> 4) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val n = math.max(1f, (w.toLong * h).toFloat)
+            MediaFeatures(m.media_id, m.media_type, m.n_bytes,
+              w, h, 1, hist.map(_ / n))
+          }
+        } catch { case _: Exception => fallback(m) }
+      }
+
+    private def fallback(m: MediaItem): MediaFeatures =
+      ImageHeaderDecoder.decode(Iterator.single(m)).next()
   }
 
   /** Wrap a text/binary source into the media-item shape (fake content

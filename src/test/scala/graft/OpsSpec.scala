@@ -256,4 +256,44 @@ class OpsSpec extends SparkSpec {
     assert(feats(1L).width == 1 && feats(1L).height == 1)
     assert(feats(2L).width >= 1 && feats(2L).feature.length == 16)
   }
+
+  test("ImageIO pixel decode: real luminance histogram from a PNG") {
+    import graft.ops.Multimodal
+    // 4x2 PNG with known pixels: 4 white (luma 255 -> bin 15),
+    // 2 black (bin 0), 2 mid-gray 0x808080 (luma 128 -> bin 8)
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array(
+      0xffffff, 0xffffff, 0x000000, 0x808080,
+      0xffffff, 0xffffff, 0x000000, 0x808080)
+    img.setRGB(0, 0, 4, 2, px, 0, 4)
+    val bytes = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bytes)
+    val png = bytes.toByteArray
+
+    // 1x1 PNG whose pixel decodes to ARGB 0x7f0000ff (semi-transparent
+    // blue): luma = 114*255/1000 = 29 -> bin 1
+    val onePix = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkY" +
+        "Phf/x8AAwMCAO+ip1sAAAAASUVORK5CYII=")
+
+    import TestSpark.spark.implicits._
+    val items = Seq(
+      graft.ops.MediaItem(1L, "image", png, png.length.toLong),
+      graft.ops.MediaItem(2L, "image", onePix, onePix.length.toLong),
+      graft.ops.MediaItem(3L, "audio", "wav???".getBytes, 6L)).toDF()
+    val out = Multimodal.decodeFeatures(spark, items,
+      Multimodal.ImageIODecoder).collect().map(f => f.media_id -> f).toMap
+
+    val f1 = out(1L)
+    assert(f1.width == 4 && f1.height == 2 && f1.n_frames == 1)
+    assert(f1.feature(15) == 0.5f)  // 4/8 white
+    assert(f1.feature(0) == 0.25f)  // 2/8 black
+    assert(f1.feature(8) == 0.25f)  // 2/8 mid-gray
+    assert(f1.feature.sum == 1.0f)
+    val f2 = out(2L)
+    assert(f2.width == 1 && f2.height == 1 && f2.feature(1) == 1.0f)
+    // audio falls back to the stub (no codec): still well-formed
+    assert(out(3L).feature.length == 16)
+  }
 }
