@@ -213,6 +213,66 @@ object VectorEventQueries {
           AS INTEGER) AS fake_height,
         CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 10 + 1
           AS INTEGER) AS fake_frames
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // §2.9 STREAMING path, oracle-checked end-to-end: synthesize arena
+    // cell exports from lineitem (1/7 of orders), run them through the
+    // REAL streaming ingest (readStream → AvailableNow → foreachBatch →
+    // single-shuffle clustered lakehouse append, checkpointed), then
+    // report per-problem stats from the ingested partitioned table.
+    // The DuckDB mirror reproduces the expected stats from lineitem with
+    // pure SQL (the regroup's 8 grouping keys collapse to 5 synthesized
+    // dimensions), so the whole stream → lakehouse → query loop is
+    // hash-verified, not just spec-smoked.
+    QueryDef("q58_stream_ingest_stats",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("q58").toString
+        val cellsDir = s"$tmp/cells"
+        // same cell synthesis as tools/ProblemBench.buildLakehouse:
+        // 3 cells (op / input_value / value) per lineitem row
+        lineitem(s, d).filter(pmod(col("l_orderkey"), lit(7)) === 0)
+          .select(
+            concat(lit("run"), (col("l_orderkey") % 8).cast("string"))
+              .as("EXECUTIONID"),
+            concat(lit("p"), (col("l_orderkey") % 20).cast("string"))
+              .as("ABSTRACTIONID"),
+            concat(lit("sys"), (col("l_suppkey") % 50).cast("string"))
+              .as("SYSTEMID"),
+            lit("").as("VARIANTID"), lit("0").as("ADAPTERID"),
+            concat(lit("t"), (col("l_partkey") % 100).cast("string"))
+              .as("SHEETID"),
+            lit("arena1").as("ARENAID"),
+            col("l_linenumber").as("Y"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .selectExpr("EXECUTIONID", "ABSTRACTIONID", "SYSTEMID",
+            "VARIANTID", "ADAPTERID", "SHEETID", "ARENAID", "Y",
+            """stack(3,
+              1, 'op', 'invoke', CAST(l_quantity AS DOUBLE),
+              2, 'input_value', CAST(l_discount AS STRING),
+                CAST(l_quantity AS DOUBLE),
+              3, 'value', CAST(l_extendedprice AS STRING),
+                CAST(l_quantity AS DOUBLE))
+              AS (X, TYPE, VALUE, EXECUTIONTIME)""")
+          .write.mode("overwrite").parquet(cellsDir)
+        val lake = new graft.lake.Lakehouse(s, s"$tmp/wh")
+        graft.streaming.EventsStreaming.streamArenaIngest(s, cellsDir,
+            s.read.parquet(cellsDir).schema, lake, "stream1", s"$tmp/ck")
+          .awaitTermination()
+        graft.queries.CanonicalQueries.perProblemStats(lake.observations)
+      },
+      Some("""WITH g AS (
+        SELECT l_orderkey % 8 AS run, l_orderkey % 20 AS prob,
+          l_suppkey % 50 AS sys, l_partkey % 100 AS sheet,
+          l_linenumber AS y, MAX(CAST(l_quantity AS DOUBLE)) AS et
+        FROM lineitem WHERE l_orderkey % 7 = 0
+        GROUP BY 1, 2, 3, 4, 5)
+      SELECT 'stream1' AS data_set_id,
+        'p' || CAST(prob AS VARCHAR) AS problem_id,
+        COUNT(DISTINCT sys) AS n_implementations,
+        COUNT(DISTINCT sheet) AS n_tests,
+        COUNT(*) AS n_observations,
+        MAX(et) AS max_execution_time_ms
+      FROM g GROUP BY 1, 2
+      ORDER BY data_set_id, problem_id"""))
   )
 }
