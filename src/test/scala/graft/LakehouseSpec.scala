@@ -119,6 +119,61 @@ class LakehouseSpec extends SparkSpec {
       .forall(_.getAs[Long]("files") == 1)) // compacted to one file/dir
   }
 
+  test("upsert interleaved with a reader: old-or-new per partition, never partial") {
+    // pins the documented non-transactional semantics (Lakehouse.upsert
+    // doc): dynamic partition overwrite rewrites ONLY touched partition
+    // dirs, so a concurrent reader sees each partition either fully-old
+    // or fully-new — or fails cleanly on a vanished file — never a
+    // partial/mixed partition. Untouched partitions are never affected.
+    val wh = tmpDir("wh-rd")
+    val lake = new Lakehouse(spark, wh)
+    lake.append("observations", Fixtures.observations, Schemas.observations)
+    lake.append("observations",
+      Fixtures.observations.withColumn("problem_id", lit("p2")),
+      Schemas.observations)
+    val keys = Seq("data_set_id", "problem_id", "implementation_id",
+      "test_id", "run_id", "environment_id", "step_id")
+
+    // reader opens a handle BEFORE the upsert (simulating in-flight work)
+    val staleHandle = lake.observations
+    val p2Before = staleHandle.filter(col("problem_id") === "p2")
+      .drop("created_at").collect().map(_.toSeq).toSet
+    val p1Old = staleHandle.filter(col("problem_id") === "p1")
+      .drop("created_at").collect().map(_.toSeq).toSet
+
+    // upsert touches ONLY p1: one replaced row + one inserted row
+    val base = Fixtures.observations.limit(1)
+    lake.upsert("observations",
+      base.withColumn("output", lit("UPD"))
+        .union(base.withColumn("step_id", lit(99))
+          .withColumn("output", lit("NEW"))),
+      Schemas.observations, keys)
+
+    // untouched partition: the PRE-upsert handle still reads p2 intact
+    // (its files were never rewritten)
+    assert(staleHandle.filter(col("problem_id") === "p2")
+      .drop("created_at").collect().map(_.toSeq).toSet == p2Before)
+
+    // fresh handle: p1 is fully-new (replaced + inserted visible)
+    val p1New = lake.observations.filter(col("problem_id") === "p1")
+      .drop("created_at").collect().map(_.toSeq).toSet
+    assert(p1New.size == p1Old.size + 1)
+    assert(lake.observations.filter(col("problem_id") === "p1" &&
+      col("output").isin("UPD", "NEW")).count() == 2)
+
+    // stale handle on the REWRITTEN partition: consistent old or new
+    // snapshot, or a clean failure on vanished files — never a mix
+    try {
+      val seen = staleHandle.filter(col("problem_id") === "p1")
+        .drop("created_at").collect().map(_.toSeq).toSet
+      assert(seen == p1Old || seen == p1New,
+        "stale reader returned a partial/mixed partition")
+    } catch {
+      case e: org.apache.spark.SparkException
+        if e.getMessage != null => () // vanished-file failure is legal
+    }
+  }
+
   test("clustered ingest append: identical contents, single exchange") {
     import graft.ingest.ArenaIngest
     // contents parity: clustered single-shuffle path == default path
