@@ -39,6 +39,37 @@ object ArenaIngest {
   def clusterByProblem(raw: DataFrame): DataFrame =
     raw.repartition(col("ABSTRACTIONID"))
 
+  /** [[clusterByProblem]] with intra-problem sharding: when the export
+    * has fewer problems than the cluster has cores (the IngestBench
+    * shape: 20 problems, 32 cores), partitioning by problem alone caps
+    * every post-shuffle stage — regroup, sort, write — at
+    * #problems-way parallelism. `shards > 1` co-partitions on
+    * (problem, hash(SHEETID) % shards): the shard column is
+    * functionally dependent on SHEETID, so adding it as an extra
+    * grouping key (see [[regroupKeys]]) leaves the groups unchanged
+    * while letting the SAME single exchange fan out #problems×shards
+    * ways. Cost: up to `shards` files per partition dir instead of one
+    * (the small-file tradeoff — [[graft.lake.Lakehouse.compactWhere]]
+    * is the repair); keep shards=1 for exports with many problems. */
+  def clusterByProblem(raw: DataFrame, shards: Int): DataFrame =
+    if (shards <= 1) clusterByProblem(raw)
+    else raw
+      .withColumn("__shard",
+        pmod(xxhash64(col("SHEETID")), lit(shards)).cast("int"))
+      .repartition(col("ABSTRACTIONID"), col("__shard"))
+
+  /** The regroup's grouping keys (`arena.py:72-101`), extended with the
+    * shard column when the input came through sharded
+    * [[clusterByProblem]] — `__shard` is a pure function of SHEETID
+    * (already a key), so the groups are identical either way. */
+  private def regroupKeys(cells: DataFrame) = {
+    val base = Seq(
+      col("EXECUTIONID"), col("ABSTRACTIONID"), col("SYSTEMID"),
+      col("VARIANTID"), col("ADAPTERID"), col("SHEETID"), col("ARENAID"),
+      col("Y"))
+    if (cells.columns.contains("__shard")) base :+ col("__shard") else base
+  }
+
   /** Cell-level rows → one observation row per sequence-sheet step
     * (`arena.py:58-149`). `dataSetId` is injected as a literal, as the
     * reference does. Oracle rows are excluded at ingest
@@ -50,10 +81,56 @@ object ArenaIngest {
     // drop sheet metadata and oracle rows (arena.py:101-103)
     val cells = raw.filter(col("Y") > -1 && col("SYSTEMID") =!= "oracle")
     cells
-      .groupBy(
-        col("EXECUTIONID"), col("ABSTRACTIONID"), col("SYSTEMID"),
-        col("VARIANTID"), col("ADAPTERID"), col("SHEETID"), col("ARENAID"),
-        col("Y"))
+      .groupBy(regroupKeys(cells): _*)
+      // the regroup's five aggregate expressions (two ordered string
+      // concats + three conditional MAXes, arena.py:83-93) fused into
+      // ONE native TypedImperativeAggregate — one buffer per group, one
+      // sort at eval, no HOF chains (bit-parity spec-asserted against
+      // the composed form below; measured on the ingest hot path)
+      .agg(graft.plans.ObservationStepAgg.agg(
+        col("X").cast("int"), col("TYPE"), col("VALUE").cast("string"),
+        col("EXECUTIONTIME").cast("double"),
+        col("SYSTEMID") === "oracle").as("c"))
+      .withColumns(Map(
+        "inputs" -> col("c.inputs"),
+        "output" -> col("c.output"),
+        "operation" -> col("c.operation"),
+        "execution_time_ms" -> col("c.execution_time_ms"),
+        "specified_oracle" -> col("c.specified_oracle")))
+      .select(
+        lit(dataSetId).as("data_set_id"),
+        col("ABSTRACTIONID").as("problem_id"),
+        implementationId(col("SYSTEMID"), col("VARIANTID"),
+          col("ADAPTERID")).as("implementation_id"),
+        col("SHEETID").as("test_id"),
+        lit("").as("implementation_hash"),
+        lit("").as("test_hash"),
+        col("EXECUTIONID").as("run_id"),
+        col("ARENAID").as("environment_id"),
+        col("Y").cast("int").as("step_id"),
+        col("operation"),
+        col("inputs"),
+        col("output"),
+        col("execution_time_ms"),
+        lit(null).cast("double").as("memory_used_mb"),
+        lit(null).cast("double").as("branch_coverage_percent"),
+        current_timestamp().as("created_at"),
+        lit(null).cast("string").as("git_commit_hash"),
+        lit(null).cast("string").as("ci_pipeline_id"),
+        lit(null).cast("string").as("researcher_name"),
+        col("specified_oracle"))
+  }
+
+  /** The regroup's aggregation in pure built-ins (two
+    * `orderedStringAgg` HOF chains + three conditional MAXes) — the
+    * SQL-reproducible shape; kept as the bit-parity reference for
+    * [[observationsFromArena]]'s fused native aggregate. Identical
+    * output (spec-asserted on fixtures and synthesized exports). */
+  def observationsFromArenaComposed(raw: DataFrame,
+      dataSetId: String): DataFrame = {
+    val cells = raw.filter(col("Y") > -1 && col("SYSTEMID") =!= "oracle")
+    cells
+      .groupBy(regroupKeys(cells): _*)
       .agg(
         // ordered, filtered string concat of the step's input/output
         // cells in spreadsheet-column order (arena.py:83-90) — outputs

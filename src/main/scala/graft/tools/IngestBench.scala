@@ -65,22 +65,45 @@ object IngestBench {
     // partitioned write both reuse that partitioning. One untimed pass
     // absorbs JIT/codegen (steady-state throughput, like the reference's
     // long-running ingest), then the timed pass into a fresh warehouse.
-    def ingest(warehouse: Lakehouse): Unit =
-      warehouse.append("observations",
-        ArenaIngest.observationsFromArena(
-          ArenaIngest.clusterByProblem(raw), "IngestBench"),
-        Schemas.observations,
-        sortCols = Seq("implementation_id", "test_id", "step_id"),
-        clustered = true)
+    // SPARK_GRAFT_INGEST_PHASE isolates pipeline stages for profiling:
+    //   scan  = glob read only;  agg = read + regroup (noop sink);
+    //   (unset) = the full pipeline incl. sorted partitioned append.
+    val phase = sys.env.get("SPARK_GRAFT_INGEST_PHASE")
+    // 20 problems < 32 cores: shard within problems so the single
+    // exchange fans out problems×shards ways (clusterByProblem doc);
+    // cost is `shards` files per partition dir
+    val shards = sys.env.getOrElse("SPARK_GRAFT_INGEST_SHARDS", "1").toInt
+    // A/B the fused ObservationStepAgg against the composed HOF chain
+    val composed = sys.env.get("SPARK_GRAFT_INGEST_COMPOSED")
+      .exists(_.toBoolean)
+    def regroup(in: org.apache.spark.sql.DataFrame) =
+      if (composed)
+        ArenaIngest.observationsFromArenaComposed(in, "IngestBench")
+      else ArenaIngest.observationsFromArena(in, "IngestBench")
+    def ingest(warehouse: Lakehouse): Unit = phase match {
+      case Some("scan") =>
+        raw.write.format("noop").mode("overwrite").save()
+      case Some("agg") =>
+        regroup(ArenaIngest.clusterByProblem(raw, shards))
+          .write.format("noop").mode("overwrite").save()
+      case _ =>
+        warehouse.append("observations",
+          regroup(ArenaIngest.clusterByProblem(raw, shards)),
+          Schemas.observations,
+          sortCols = Seq("implementation_id", "test_id", "step_id"),
+          clustered = true)
+    }
     ingest(new Lakehouse(spark,
       java.nio.file.Files.createTempDirectory("ingest-warm").toString))
     System.gc()
     val t0 = System.nanoTime()
     ingest(lake)
     val secs = (System.nanoTime() - t0) / 1e9
-    val nObs = lake.observations.count()
+    // phase runs write to a noop sink — no table to count
+    val nObs = if (phase.isEmpty) lake.observations.count() else 0L
     println(f"INGEST cells=$nCells obs=$nObs secs=$secs%.2f " +
-      f"cells_per_sec=${nCells / secs}%.0f obs_per_sec=${nObs / secs}%.0f")
+      f"cells_per_sec=${nCells / secs}%.0f obs_per_sec=${nObs / secs}%.0f" +
+      phase.fold("")(p => s" phase=$p"))
     spark.stop()
   }
 }

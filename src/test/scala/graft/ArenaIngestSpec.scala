@@ -45,6 +45,48 @@ class ArenaIngestSpec extends SparkSpec {
     assert(r.getAs[Int]("lines_of_code") == 1)
   }
 
+  test("fused regroup aggregate is bit-identical to the composed form") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // fixtures (multi-cell steps, oracle rows, metadata rows) ...
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.drop("created_at") // current_timestamp differs between runs
+        .orderBy("implementation_id", "test_id", "run_id", "step_id")
+        .collect().map(_.toSeq).toSeq
+    assert(rows(ArenaIngest.observationsFromArena(Fixtures.rawArena, "DS"))
+      == rows(ArenaIngest.observationsFromArenaComposed(
+        Fixtures.rawArena, "DS")))
+    // ... and a 4k-row synthesized export across many partitions (also
+    // exercises the partial-merge serialize path via repartition)
+    val spark2 = spark
+    import spark2.implicits._
+    val synth = (1 to 1000).flatMap { i =>
+      Seq(
+        (s"e${i % 3}", s"p${i % 5}", s"sys${i % 7}", "", "0",
+          s"t${i % 11}", "a1", i % 4, i % 13, "input_value", s"in$i",
+          i.toDouble),
+        (s"e${i % 3}", s"p${i % 5}", s"sys${i % 7}", "", "0",
+          s"t${i % 11}", "a1", i % 4 + 4, i % 13, "value", s"out$i",
+          i.toDouble * 2),
+        (s"e${i % 3}", s"p${i % 5}", s"sys${i % 7}", "", "0",
+          s"t${i % 11}", "a1", 0, i % 13, "op", "invoke", i.toDouble),
+        // a NULL VALUE cell: must be skipped by both forms
+        (s"e${i % 3}", s"p${i % 5}", s"sys${i % 7}", "", "0",
+          s"t${i % 11}", "a1", 9, i % 13, "value", null, i.toDouble))
+    }.toDF("EXECUTIONID", "ABSTRACTIONID", "SYSTEMID", "VARIANTID",
+      "ADAPTERID", "SHEETID", "ARENAID", "X", "Y", "TYPE", "VALUE",
+      "EXECUTIONTIME").repartition(13)
+    assert(rows(ArenaIngest.observationsFromArena(synth, "DS"))
+      == rows(ArenaIngest.observationsFromArenaComposed(synth, "DS")))
+    // sharded clustering (skew escape hatch): __shard is a pure function
+    // of SHEETID, so the regroup output is identical — and the shard
+    // column must not leak into the observation schema
+    val sharded = ArenaIngest.observationsFromArena(
+      ArenaIngest.clusterByProblem(synth, shards = 4), "DS")
+    assert(!sharded.columns.contains("__shard"))
+    assert(rows(sharded) ==
+      rows(ArenaIngest.observationsFromArenaComposed(synth, "DS")))
+  }
+
   test("sha1 ingest hashes are interchangeable with git hash-object") {
     // vectors from real `git hash-object --stdin` on the source content
     // (normalization is a no-op for these): the reference's dedup keys
