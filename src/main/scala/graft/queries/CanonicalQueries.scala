@@ -29,11 +29,31 @@ object CanonicalQueries {
 
   /** Q1 — SRM output view (`benchmark_srm_output_view.py:50-77`): rows =
     * (test_id, step_id) stimulus, one column per implementation, cells =
-    * observed output. `implValues` pins the pivot column set (explicit
-    * list → deterministic order, no extra distinct job); pass the
-    * problem's implementations. Cells use min() not first(): single-row
-    * groups in practice, deterministic under duplicates. */
+    * observed output. `implValues` pins the column set (explicit list →
+    * deterministic order, no extra distinct job); pass the problem's
+    * implementations. Cells use min() not first(): single-row groups in
+    * practice, deterministic under duplicates.
+    *
+    * Implementation: ONE native map aggregation
+    * (`plans/KeyedMinAgg` — a single hash upsert per input row) +
+    * `element_at` column projection, instead of `pivot().agg(min)`
+    * which compiles to one conditional min-aggregate PER implementation
+    * evaluated on EVERY row (N× expression evals and buffers). Output
+    * is bit-identical to the pivot form ([[srmOutputViewPivot]],
+    * spec-asserted). */
   def srmOutputView(observations: DataFrame,
+      implValues: Seq[String]): DataFrame =
+    observations
+      .groupBy(col("test_id"), col("step_id"))
+      .agg(graft.plans.KeyedMinAgg.keyedMin(
+        col("implementation_id"), col("output")).as("__m"))
+      .select(col("test_id") +: col("step_id") +:
+        implValues.map(v => element_at(col("__m"), lit(v)).as(v)): _*)
+      .orderBy("test_id", "step_id")
+
+  /** The built-in `pivot().agg(min)` form — kept as the bit-parity
+    * reference for [[srmOutputView]]'s map aggregation. */
+  def srmOutputViewPivot(observations: DataFrame,
       implValues: Seq[String]): DataFrame =
     observations
       .groupBy(col("test_id"), col("step_id"))

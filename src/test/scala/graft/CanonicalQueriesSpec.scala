@@ -60,6 +60,22 @@ class CanonicalQueriesSpec extends SparkSpec {
       r.getString(4) == "X")
   }
 
+  test("map-aggregated SRM view is bit-identical to the pivot form") {
+    // KeyedMinAgg + element_at vs pivot().agg(min) — same schema, same
+    // rows, including the absent-implementation NULL column (i9)
+    val impls = Seq("i1", "i2", "i3", "i9")
+    val a = CanonicalQueries.srmOutputView(Fixtures.observations, impls)
+    val b = CanonicalQueries.srmOutputViewPivot(Fixtures.observations,
+      impls)
+    assert(a.schema.fieldNames.toSeq == b.schema.fieldNames.toSeq)
+    assert(a.collect().map(_.toSeq).toSeq == b.collect().map(_.toSeq).toSeq)
+    // ... and across partial-merge boundaries
+    val spread = CanonicalQueries.srmOutputView(
+      Fixtures.observations.repartition(7), impls)
+    assert(spread.collect().map(_.toSeq).toSeq ==
+      b.collect().map(_.toSeq).toSeq)
+  }
+
   test("dynamic SRM view discovers the implementation columns") {
     val m = CanonicalQueries.srmOutputViewDynamic(Fixtures.observations)
     assert(m.columns.toSeq == Seq("test_id", "step_id", "i1", "i2", "i3"))
