@@ -9,9 +9,15 @@ import org.apache.spark.sql.SparkSessionExtensions
   *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
   *     ...
   *   spark.sql("SELECT graft_git_blob_hash(source_code) FROM code")
+  *   spark.sql("""SELECT implementation_id,
+  *     graft_trace_fingerprint(test_id, run_id, step_id, output) AS fp
+  *     FROM observations GROUP BY implementation_id""")
   * }}}
+  * Scalar expressions AND the native aggregates are injected — the
+  * analyzer wraps an AggregateFunction returned by a builder in its
+  * AggregateExpression, so the aggregates work in plain SQL GROUP BYs.
   * Nothing in the reference's surface needs a custom Rule/Strategy
-  * (SURVEY §4) — injection is limited to expressions.
+  * (SURVEY §4) — injection is limited to functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       VecDotExpr.builder))
     ext.injectFunction((CountInSetExpr.identifier, CountInSetExpr.info,
       CountInSetExpr.builder))
+    ext.injectFunction((TraceFingerprintAgg.identifier,
+      TraceFingerprintAgg.info, TraceFingerprintAgg.builder))
+    ext.injectFunction((KeyedMinAgg.identifier, KeyedMinAgg.info,
+      KeyedMinAgg.builder))
   }
 }

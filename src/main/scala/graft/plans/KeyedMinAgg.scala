@@ -139,4 +139,18 @@ object KeyedMinAgg {
       ColumnBridge.expression(key), ColumnBridge.expression(value))
       .toAggregateExpression())
   }
+
+  /** SQL surface (GraftExtensions). */
+  val identifier: org.apache.spark.sql.catalyst.FunctionIdentifier =
+    org.apache.spark.sql.catalyst.FunctionIdentifier("graft_keyed_min")
+
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[KeyedMinAgg].getCanonicalName, "graft_keyed_min")
+
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      "graft_keyed_min takes (key string, value string)")
+    KeyedMinAgg(children(0), children(1))
+  }
 }

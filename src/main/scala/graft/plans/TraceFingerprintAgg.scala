@@ -214,4 +214,22 @@ object TraceFingerprintAgg {
       ColumnBridge.expression(step), ColumnBridge.expression(output))
       .toAggregateExpression())
   }
+
+  /** SQL surface (GraftExtensions): the analyzer wraps the returned
+    * AggregateFunction in an AggregateExpression when used in a
+    * GROUP BY context. */
+  val identifier: org.apache.spark.sql.catalyst.FunctionIdentifier =
+    org.apache.spark.sql.catalyst.FunctionIdentifier(
+      "graft_trace_fingerprint")
+
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[TraceFingerprintAgg].getCanonicalName,
+      "graft_trace_fingerprint")
+
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 4, "graft_trace_fingerprint takes " +
+      "(test string, run string, step int, output string)")
+    TraceFingerprintAgg(children(0), children(1), children(2), children(3))
+  }
 }

@@ -177,6 +177,38 @@ class PlansSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw; builder proven above
   }
 
+  test("native aggregates work from plain SQL (GROUP BY context)") {
+    import graft.plans.{KeyedMinAgg, TraceFingerprintAgg}
+    spark.sessionState.functionRegistry.registerFunction(
+      TraceFingerprintAgg.identifier, TraceFingerprintAgg.info,
+      TraceFingerprintAgg.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      KeyedMinAgg.identifier, KeyedMinAgg.info, KeyedMinAgg.builder)
+    Fixtures.observations.createOrReplaceTempView("obs_sql")
+    // fingerprint: same values as the Column-level entry
+    val viaSql = spark.sql("""SELECT implementation_id,
+        graft_trace_fingerprint(test_id, run_id, step_id, output) AS fp
+      FROM obs_sql GROUP BY implementation_id ORDER BY implementation_id""")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    val viaCol = Fixtures.observations
+      .groupBy(col("implementation_id"))
+      .agg(TraceFingerprintAgg.fingerprint(col("test_id"), col("run_id"),
+        col("step_id"), col("output")).as("fp"))
+      .orderBy("implementation_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    // keyed min: map cells match the pivot
+    val m = spark.sql("""SELECT test_id, step_id,
+        graft_keyed_min(implementation_id, output) AS m
+      FROM obs_sql GROUP BY test_id, step_id""")
+      .selectExpr("test_id", "step_id", "element_at(m, 'i1') AS i1")
+      .orderBy("test_id", "step_id").collect().map(_.toSeq).toSeq
+    val p = graft.queries.CanonicalQueries.srmOutputViewPivot(
+      Fixtures.observations, Seq("i1"))
+      .collect().map(_.toSeq).toSeq
+    assert(m == p)
+  }
+
   test("builder casts non-string inputs (implicit-cast behavior)") {
     registerNative()
     val viaInt = Seq(42).toDF("n")
