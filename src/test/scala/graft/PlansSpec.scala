@@ -218,6 +218,52 @@ class PlansSpec extends SparkSpec {
     assert(viaInt == viaStr)
   }
 
+  test("native aggregates match built-in forms on adversarial inputs (property)") {
+    import graft.plans.KeyedMinAgg
+    // Unicode collation torture: characters around the UTF-16/UTF-8
+    // order divergence (U+E000-FFFF vs supplementary planes), empties,
+    // nulls — where a java.lang.String-ordered buffer would diverge
+    // from the UTF-8-binary built-ins
+    val vocab = Seq("a", "", "￿", "𐀀" /* U+10000 */,
+      "", "中", "z~", null)
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 400).map { i =>
+      (s"k${rnd.nextInt(6)}", vocab(rnd.nextInt(vocab.size)),
+        vocab(rnd.nextInt(vocab.size)))
+    }
+    val df = rows.toDF("g", "key", "v")
+    // keyed-min vs groupBy+min ground truth
+    val viaAgg = df.groupBy("g")
+      .agg(KeyedMinAgg.keyedMin(col("key"), col("v")).as("m"))
+      .select(col("g"), explode(col("m")).as(Seq("key", "minv")))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).toSet
+    val truth = df.filter(col("key").isNotNull && col("v").isNotNull)
+      .groupBy("g", "key").agg(min(col("v")).as("minv"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).toSet
+    assert(viaAgg == truth)
+    // trace fingerprint: equal traces ⇒ equal fingerprints, differing
+    // traces ⇒ differing fingerprints (injectivity over this sample)
+    import graft.plans.TraceFingerprintAgg
+    val obs = (0 until 200).map { i =>
+      (s"impl${i % 10}", s"t${i % 5}", s"r${i % 2}", i % 7,
+        vocab(i % (vocab.size - 1))) // exclude null runs of vocab tail
+    }.toDF("impl", "test", "run", "step", "out")
+    val fps = obs.groupBy("impl")
+      .agg(TraceFingerprintAgg.fingerprint(col("test"), col("run"),
+        col("step"), col("out")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // impl0 and impl5 (etc.) see different (step, out) sequences here;
+    // shuffled input row order must not change any fingerprint
+    val fps2 = obs.orderBy(rand(42)).groupBy("impl")
+      .agg(TraceFingerprintAgg.fingerprint(col("test"), col("run"),
+        col("step"), col("out")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps == fps2)
+    assert(fps.values.toSet.size > 1)
+  }
+
   test("OrderedStringAggregator matches Fns.orderedStringAgg") {
     val agg = udaf(new OrderedStringAggregator)
     val df = Seq((1, 3, "c"), (1, 1, "a"), (1, 2, null),
