@@ -27,6 +27,42 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric per-vector int8 quantization — the memory-bandwidth
+    * lever for a 100 TB embedding table: 4 bytes/dim float32 → 1
+    * byte/dim, with the scale factor kept per vector.
+    * `q_i = round(x_i / q_scale)`, `q_scale = max|x| / 127` (floored at
+    * 1e-12 so all-zero vectors quantize to zeros instead of NaN), so
+    * `q_i ∈ [-127, 127]`. Cosine similarity is EXACTLY preserved up to
+    * rounding — the per-vector scales cancel:
+    * `cos(s1·q1, s2·q2) = cos(q1, q2)` (see [[quantizedCosine]]).
+    * Adds `q_scale: double` and `q_vec: array<int>`; pure column
+    * expressions, no UDFs. */
+  def quantizeInt8(vecs: DataFrame, vecCol: String): DataFrame =
+    vecs
+      .withColumn("q_scale",
+        greatest(
+          array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+            / 127.0,
+          lit(1e-12)))
+      .withColumn("q_vec",
+        transform(col(vecCol),
+          x => round(x.cast("double") / col("q_scale")).cast("int")))
+
+  /** Cosine over int8-quantized vectors: the per-vector scales cancel,
+    * so this is the integer cosine of the q-vectors — the reconstruction
+    * `s·q` is never materialized. Uses the codegen'd native dot product
+    * (int arrays are cast once to double arrays by the lift). */
+  def quantizedCosine(qa: org.apache.spark.sql.Column,
+      qb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.plans.VecDotExpr
+    // explicit cast: the dot lift's lazy cast only fires on resolved
+    // expressions, and int arrays must widen to double either way
+    val a = transform(qa, _.cast("double"))
+    val b = transform(qb, _.cast("double"))
+    VecDotExpr.dot(a, b) /
+      (sqrt(VecDotExpr.dot(a, a)) * sqrt(VecDotExpr.dot(b, b)))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a value in [-1, 1) derived from the portable hash — reproducible
     * across engines and runs with no RNG state. */

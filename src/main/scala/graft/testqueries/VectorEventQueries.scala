@@ -273,6 +273,35 @@ object VectorEventQueries {
         COUNT(*) AS n_observations,
         MAX(et) AS max_execution_time_ms
       FROM g GROUP BY 1, 2
-      ORDER BY data_set_id, problem_id"""))
+      ORDER BY data_set_id, problem_id""")),
+
+    // Int8 embedding quantization (ops/Similarity.quantizeInt8) — the
+    // 4-bytes/dim → 1-byte/dim memory-bandwidth lever for a 100 TB
+    // embedding table; cosine is scale-invariant so similarity search
+    // runs on the quantized vectors directly (quantizedCosine, spec).
+    // Oracle checks the quantized vectors exactly via integer sums
+    // (q_sum, q_l2 are exact int arithmetic after the round).
+    QueryDef("q59_embedding_quantize",
+      (s, d) => graft.ops.Similarity
+        .quantizeInt8(embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("q_scale"),
+          aggregate(col("q_vec"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("q_vec"), lit(0L), (a, x) => a + x * x)
+            .as("q_l2"))
+        .orderBy("vec_id"),
+      Some("""WITH s AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+          greatest(list_max(list_transform(embedding::DOUBLE[],
+            x -> abs(x))) / 127.0, 1e-12) AS q_scale
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, q_scale,
+          list_transform(e, x -> CAST(round(x / q_scale) AS INTEGER))
+            AS qv
+        FROM s)
+      SELECT vec_id, q_scale,
+        CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_l2
+      FROM q ORDER BY vec_id"""))
   )
 }

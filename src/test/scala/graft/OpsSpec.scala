@@ -94,6 +94,39 @@ class OpsSpec extends SparkSpec {
       out.head.getAs[Long]("b_id") == 2L)
   }
 
+  test("int8 quantization preserves cosine within rounding error") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 4 - 2))).toDF(
+      "vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "embedding")
+    // all components land in [-127, 127]; all-zero vector stays zeros
+    val zero = Similarity.quantizeInt8(
+      Seq((99L, Array.fill(8)(0f))).toDF("vec_id", "embedding"),
+      "embedding").collect().head
+    assert(zero.getAs[scala.collection.Seq[Int]]("q_vec").forall(_ == 0))
+    q.collect().foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Int]]("q_vec")
+        .forall(v => v >= -127 && v <= 127))
+    }
+    // pairwise cosine on quantized vectors ≈ float cosine (scales
+    // cancel exactly; the only error is the per-component rounding)
+    def dd(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    val pairs = q.as("a").join(q.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.functions.Fns.cosine(dd(col("a.embedding")),
+          dd(col("b.embedding"))).as("exact"),
+        Similarity.quantizedCosine(col("a.q_vec"), col("b.q_vec"))
+          .as("approx"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02,
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("brute-force topk ranks the identical vector first") {
     val corpus = Seq(
       (1L, Array(1f, 0f)), (2L, Array(1f, 0.05f)), (3L, Array(0f, 1f)),
