@@ -75,6 +75,42 @@ object TextAnalysis {
       .withColumn("bpe_tokens", size(regexp_extract_all(col(textCol),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
 
+  /** Repetition signals — the Gopher-rule family of pretraining quality
+    * filters (Rae et al. 2021 §A1.1: documents dominated by repeated
+    * lines/words are boilerplate or spam): fraction of non-empty lines
+    * that are repeats of an earlier line, and the same for words.
+    * Pure per-row expressions (array_distinct over the split), zero
+    * shuffles; empty docs score 0.0. */
+  def repetitionSignals(docs: DataFrame, textCol: String): DataFrame = {
+    def dupFrac(arr: Column): Column = {
+      val n = size(arr)
+      when(n > 0,
+        (n - size(array_distinct(arr))).cast("double") / n)
+        .otherwise(0.0)
+    }
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    docs
+      .withColumn("dup_line_frac", dupFrac(lines))
+      .withColumn("dup_word_frac", dupFrac(Fns.words(col(textCol))))
+  }
+
+  /** PII redaction: emails, IPv4 addresses and international phone
+    * numbers replaced with typed placeholder tags — the masking pass a
+    * training pipeline runs before tokenization. Conservative
+    * lookaround-free patterns (portable across Java regex and RE2, so
+    * the DuckDB oracle replays them verbatim); chain order matters and
+    * is part of the contract (emails first, so user@host is not
+    * half-eaten by the IP pattern). */
+  def redactPii(docs: DataFrame, textCol: String,
+      outCol: String = "redacted"): DataFrame =
+    docs.withColumn(outCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+        "\\+\\d{7,15}", "<PHONE>"))
+
   /** Polynomial rolling-hash fingerprint (base 31, mod 1e9+7) of the
     * first `prefixLen` chars — an ordered left fold over the codepoints. */
   def fingerprint(docs: DataFrame, textCol: String,

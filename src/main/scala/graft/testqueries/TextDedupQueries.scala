@@ -362,6 +362,49 @@ object TextDedupQueries {
           n_words, quality_score
         FROM gated g JOIN keep USING (doc_id)
         ORDER BY doc_id"""
-      })
+      }),
+
+    // Gopher-rule repetition signals (Rae et al. 2021 §A1.1): fraction
+    // of repeated non-empty lines / repeated words per document — the
+    // boilerplate/spam filters of a pretraining pipeline. Pure per-row
+    // array expressions, zero shuffles.
+    QueryDef("q60_repetition_signals",
+      (s, d) => graft.ops.TextAnalysis
+        .repetitionSignals(documents(s, d), "text")
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_word_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, chr(10)),
+            l -> len(l) > 0) AS lines,
+          CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+            ELSE string_split_regex(trim(text), '\s+') END AS ws
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN len(lines) > 0
+          THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+            / len(lines)
+          ELSE CAST(0.0 AS DOUBLE) END AS dup_line_frac,
+        CASE WHEN len(ws) > 0
+          THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+          ELSE CAST(0.0 AS DOUBLE) END AS dup_word_frac
+      FROM w ORDER BY doc_id""")),
+
+    // PII redaction (emails / IPv4 / international phone numbers →
+    // typed tags) — the masking pass before tokenization. The patterns
+    // are lookaround-free so Java regex and RE2 execute them
+    // identically; the DuckDB oracle replays the chain verbatim.
+    QueryDef("q61_pii_redaction",
+      (s, d) => graft.ops.TextAnalysis
+        .redactPii(documents(s, d), "text")
+        .select(col("doc_id"), col("redacted"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+          'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\+\d{7,15}', '<PHONE>', 'g') AS redacted
+      FROM documents ORDER BY doc_id"""))
   )
 }

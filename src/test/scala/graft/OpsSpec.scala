@@ -186,6 +186,40 @@ class OpsSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("repetition signals: duplicate line and word fractions") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "spam line\nspam line\nspam line\nunique"),  // 2/4 dup lines
+      (2L, "all words distinct here"),
+      (3L, "buy buy buy now"),                          // 2/4 dup words
+      (4L, ""),                                         // empty: 0.0
+      (5L, "a\n\n\na")                                  // empties dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("dup_line_frac"),
+          r.getAs[Double]("dup_word_frac"))).toMap
+    assert(out(1L)._1 == 0.5)
+    assert(out(2L) == ((0.0, 0.0)))
+    assert(out(3L)._2 == 0.5)
+    assert(out(4L) == ((0.0, 0.0)))
+    assert(out(5L)._1 == 0.5) // two non-empty 'a' lines, one repeat
+  }
+
+  test("pii redaction masks emails, ips, phones") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or +4915112345678 now"),
+      (2L, "server at 192.168.0.1 went down"),
+      (3L, "no pii here; version 1.2 is fine")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "contact <EMAIL> or <PHONE> now")
+    assert(out(2L) == "server at <IP> went down")
+    assert(out(3L) == "no pii here; version 1.2 is fine")
+  }
+
   test("curation pipeline: quality gate, lang id, keep-first dedup") {
     val long = ("the cat is on the mat and the dog is of the house " * 2)
       .trim // 24 words, stopword-rich -> passes the gate
