@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Deterministic sampling operators. `rand()`-based sampling is
+  * nondeterministic across retries and re-plans (a task retry resamples
+  * — rows can be double-counted or lost); these hash a stable key
+  * instead, so the same row makes the same decision on every executor,
+  * every retry, every engine ([[Fns.portableHash60]] is
+  * DuckDB-replayable, which also makes the sample oracle-checkable).
+  */
+object Sampling {
+
+  private val M = 1000000L
+
+  /** Uniform keyed sample: keep `fraction` of rows, decided by
+    * `hash(key) mod 1e6` — deterministic and stable under retries. */
+  def sample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame =
+    df.filter(u(keyCol) < math.round(fraction * M))
+
+  /** Stratified keyed sample: per-stratum fractions (e.g. downsample
+    * dominant languages, keep the tail whole — the rebalancing step of
+    * a pretraining mix). Strata absent from `fractions` keep
+    * `default`. The when-chain is a per-row expression; no join, no
+    * shuffle, no RNG state. */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+      fractions: Map[String, Double],
+      default: Double = 1.0): DataFrame = {
+    val threshold = fractions.foldLeft(
+      lit(math.round(default * M))) { case (acc, (stratum, f)) =>
+      when(stratumCol === stratum, lit(math.round(f * M))).otherwise(acc)
+    }
+    df.filter(u(keyCol) < threshold)
+  }
+
+  /** `hash(key) mod 1e6` in `[0, 1e6)` — the sampling uniformizer. */
+  private def u(keyCol: Column): Column =
+    pmod(Fns.portableHash60(keyCol.cast("string")), lit(M))
+}

@@ -111,6 +111,34 @@ object TextAnalysis {
           "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
         "\\+\\d{7,15}", "<PHONE>"))
 
+  /** Sequence chunking — split each document's token stream into
+    * fixed-size windows with `overlap` tokens of context carry-over:
+    * the packing step that turns documents into training-context rows.
+    * One row per chunk `(…, chunk_idx, chunk_tokens, n_tokens)`;
+    * the final chunk may be short; empty documents yield no chunks.
+    * Pure explode over a per-row `sequence` — no shuffle; at 100 TB
+    * this is a flatMap-shaped scan whose output partitioning follows
+    * the input's. */
+  def chunkTokens(docs: DataFrame, textCol: String, chunkSize: Int,
+      overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = regexp_extract_all(col(textCol),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__start",
+        explode(when(size(col("__toks")) > 0,
+          sequence(lit(0), size(col("__toks")) - 1, lit(step)))
+          .otherwise(array().cast("array<int>"))))
+      .select(docs.columns.map(col) :+
+        (col("__start") / step).cast("int").as("chunk_idx") :+
+        slice(col("__toks"), col("__start") + 1, lit(chunkSize))
+          .as("chunk_tokens"): _*)
+      .withColumn("n_tokens", size(col("chunk_tokens")))
+  }
+
   /** Polynomial rolling-hash fingerprint (base 31, mod 1e9+7) of the
     * first `prefixLen` chars — an ordered left fold over the codepoints. */
   def fingerprint(docs: DataFrame, textCol: String,

@@ -405,6 +405,47 @@ object TextDedupQueries {
           'g'),
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
           '\+\d{7,15}', '<PHONE>', 'g') AS redacted
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // Sequence chunking (TextAnalysis.chunkTokens): token stream →
+    // fixed-size training-context windows with overlap carry-over
+    // (6-token chunks, 2-token overlap here). Pure per-row explode, no
+    // shuffle; the final short chunk is kept, empty docs yield none.
+    QueryDef("q62_sequence_chunking",
+      (s, d) => graft.ops.TextAnalysis
+        .chunkTokens(documents(s, d), "text", chunkSize = 6, overlap = 2)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          array_join(col("chunk_tokens"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')
+            AS toks
+        FROM documents)
+      SELECT doc_id, CAST(i // 4 AS INTEGER) AS chunk_idx,
+        CAST(len(list_slice(toks, i + 1, i + 6)) AS INTEGER) AS n_tokens,
+        array_to_string(list_slice(toks, i + 1, i + 6), ' ')
+          AS chunk_text
+      FROM t, UNNEST(range(0, CAST(len(toks) AS BIGINT), 4)) AS u(i)
+      ORDER BY doc_id, chunk_idx""")),
+
+    // Deterministic stratified sampling (ops/Sampling): per-language
+    // keep fractions decided by a portable key hash — stable under task
+    // retries (rand() is not) and exactly replayable in the oracle.
+    // The pretraining-mix rebalancing step: downsample the dominant
+    // language, keep the tail whole.
+    QueryDef("q63_stratified_sample",
+      (s, d) => graft.ops.Sampling.stratifiedSample(
+          documents(s, d), col("lang"), col("doc_id"),
+          Map("en" -> 0.25, "de" -> 0.5))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000
+        < CASE WHEN lang = 'en' THEN 250000
+            WHEN lang = 'de' THEN 500000
+            ELSE 1000000 END
+      ORDER BY doc_id"""))
   )
 }

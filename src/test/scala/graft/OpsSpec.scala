@@ -220,6 +220,47 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == "no pii here; version 1.2 is fine")
   }
 
+  test("sequence chunking: fixed windows with overlap, short tail kept") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "text", 6, 2)
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(col("chunk_tokens"), " ").as("t"), col("n_tokens"))
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0, "a b c d e f", 6),  // step = 6 - 2 = 4:
+      (1L, 1, "e f g h i j", 6),  // chunk 1 re-reads e f (overlap)
+      (1L, 2, "i j", 2),          // short tail kept
+      (2L, 0, "x y", 2)))         // empty doc 3: no chunks
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(docs, "text", 4, 4)
+    }
+    assert(err.getMessage.contains("overlap"))
+  }
+
+  test("deterministic sampling: stable, stratified, retry-safe") {
+    import graft.ops.Sampling
+    val docs = (1L to 2000L).map(i =>
+      (i, if (i % 4 == 0L) "de" else "en")).toDF("doc_id", "lang")
+    val s1 = Sampling.sample(docs, col("doc_id"), 0.3)
+    // determinism: identical result on re-execution and repartition
+    assert(s1.collect().map(_.getLong(0)).toSet ==
+      Sampling.sample(docs.repartition(7), col("doc_id"), 0.3)
+        .collect().map(_.getLong(0)).toSet)
+    // fraction lands near target (hash-uniformity at n=2000)
+    val n = s1.count().toDouble / 2000
+    assert(n > 0.25 && n < 0.35, s"got $n")
+    // stratified: en downsampled, de kept whole
+    val strat = Sampling.stratifiedSample(docs, col("lang"),
+      col("doc_id"), Map("en" -> 0.1), default = 1.0)
+    val byLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 500)      // default 1.0: all kept
+    assert(byLang("en") < 250)       // 0.1 of 1500 ± hash noise
+  }
+
   test("curation pipeline: quality gate, lang id, keep-first dedup") {
     val long = ("the cat is on the mat and the dog is of the house " * 2)
       .trim // 24 words, stopword-rich -> passes the gate
