@@ -61,9 +61,22 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
   }
 
   /** Lazy partitioned-table load; partition-key filters prune at the file
-    * index, predicates/projections push into the parquet scan. */
+    * index, predicates/projections push into the parquet scan. A known
+    * table whose directory holds no data files (e.g. every append so far
+    * produced zero rows — an export with no metadata rows) reads as an
+    * EMPTY, correctly-typed frame, the table-format behavior — not an
+    * UNABLE_TO_INFER_SCHEMA crash. */
   def load(table: String): DataFrame =
-    spark.read.parquet(dir(table))
+    try spark.read.parquet(dir(table))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null &&
+            e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") &&
+            Schemas.byName.contains(table) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Schemas.byName(table))
+    }
 
   /** Load with `mergeSchema` — tolerates files written before an additive
     * schema evolution (`lakehouse.py:281-336`). */

@@ -119,6 +119,33 @@ class LakehouseSpec extends SparkSpec {
       .forall(_.getAs[Long]("files") == 1)) // compacted to one file/dir
   }
 
+  test("empty table reads as an empty typed frame, not a crash") {
+    // an export with no metadata rows appends ZERO code/tests rows; the
+    // table dir then has no data files and schema inference would fail —
+    // known tables must fall back to their declared schema (the
+    // table-format behavior), and lake.query must keep working
+    val wh = tmpDir("wh-empty")
+    val lake = new Lakehouse(spark, wh)
+    lake.append("observations", Fixtures.observations, Schemas.observations)
+    lake.append("tests",
+      Fixtures.observations.filter(lit(false))
+        .select(col("data_set_id"), col("problem_id"),
+          col("test_id"), col("output").as("source_code"),
+          col("operation").as("focal_interface"),
+          col("implementation_hash").as("code_hash"),
+          col("created_at"), lit("java").as("language")),
+      Schemas.tests)
+    val t = lake.load("tests")
+    assert(t.schema == Schemas.tests)
+    assert(t.count() == 0)
+    // the query API registers all tables including the empty one
+    assert(lake.query(
+      "SELECT COUNT(*) AS n FROM observations").collect().head.getLong(0)
+      == 12)
+    assert(lake.query("SELECT COUNT(*) AS n FROM tests")
+      .collect().head.getLong(0) == 0)
+  }
+
   test("upsert interleaved with a reader: old-or-new per partition, never partial") {
     // pins the documented non-transactional semantics (Lakehouse.upsert
     // doc): dynamic partition overwrite rewrites ONLY touched partition
