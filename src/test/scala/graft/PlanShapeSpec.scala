@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Locks in the scale-critical physical-plan shapes PLANS.md documents —
+  * the properties that make queries survive a 100× scale-up. A change
+  * that silently reintroduces an extra shuffle or a single-task global
+  * sort fails HERE, not at cluster scale.
+  *
+  * Shuffle counts are read from the formatted initial plan (AQE may
+  * later coalesce partitions; it never ADDS exchanges).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def byName(name: String): DataFrame =
+    graft.testqueries.Registry.all.find(_.name == name).get.run(spark, sf)
+
+  /** (shuffle exchanges, broadcast exchanges) in the initial plan. */
+  private def exchanges(df: DataFrame): (Int, Int) = {
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffle = "(?<!Broadcast)Exchange ".r.findAllIn(plan).size
+    val bcast = "BroadcastExchange ".r.findAllIn(plan).size
+    (shuffle, bcast)
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q03: one range exchange, two broadcasts, no single-task sort") {
+    val df = byName("q03_three_way_join")
+    val plan = planOf(df)
+    val (sh, bc) = exchanges(df)
+    assert(sh == 1, s"expected exactly one shuffle exchange:\n$plan")
+    assert(bc == 2, s"expected two broadcast dims:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      "the one exchange must be the pre-join range partition")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "single-task global sort is a 100x scale-killer")
+  }
+
+  test("ingest regroup: exactly one shuffle end-to-end (clustered path)") {
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("'e1' AS EXECUTIONID",
+        "concat('p', l_orderkey % 3) AS ABSTRACTIONID",
+        "concat('s', l_suppkey % 5) AS SYSTEMID", "'' AS VARIANTID",
+        "'0' AS ADAPTERID", "concat('t', l_partkey % 7) AS SHEETID",
+        "'a1' AS ARENAID", "1 AS X", "l_linenumber AS Y",
+        "'value' AS TYPE", "CAST(l_quantity AS STRING) AS VALUE",
+        "CAST(l_quantity AS DOUBLE) AS EXECUTIONTIME")
+    val obs = graft.ingest.ArenaIngest.observationsFromArena(
+      graft.ingest.ArenaIngest.clusterByProblem(raw), "DS")
+    val (sh, _) = exchanges(obs)
+    assert(sh == 1,
+      s"clusterByProblem must satisfy the regroup's distribution:\n" +
+        planOf(obs))
+  }
+
+  test("q09 clustering: one upfront partition feeds both signature aggs") {
+    val df = byName("q09_behavioral_clustering")
+    val plan = planOf(df)
+    val (sh, _) = exchanges(df)
+    // exchanges: l_suppkey upfront, fp_hash regroup, final 1-part sort
+    assert(sh == 3, s"expected 3 exchanges (got $sh):\n$plan")
+  }
+
+  test("q16 exact dedup: a single shuffle on the content digest") {
+    val df = byName("q16_dedup_exact")
+    val (sh, _) = exchanges(df)
+    assert(sh <= 2, // digest groupBy + deterministic output sort
+      s"dedup must be one digest shuffle (+ output sort):\n${planOf(df)}")
+  }
+
+  test("interactive canonical path stays a single stage, zero exchanges") {
+    // the zero-exchange claim covers SRM + clustering (+ the join, which
+    // broadcasts its dims); per_problem_stats is NOT claimed — its
+    // countDistinct Expand rewrite plans distinct-stage exchanges
+    val one = graft.queries.CanonicalQueries.interactive(
+      Fixtures.observations)
+    Seq(
+      graft.queries.CanonicalQueries.behavioralClustering(one),
+      graft.queries.CanonicalQueries.srmOutputView(one,
+        Seq("i1", "i2", "i3"))
+    ).foreach { q =>
+      val (sh, _) = exchanges(q)
+      assert(sh == 0, s"interactive path must not exchange:\n${planOf(q)}")
+      assert(q.rdd.getNumPartitions == 1)
+    }
+  }
+}
