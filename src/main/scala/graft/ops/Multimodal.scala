@@ -24,18 +24,21 @@ final case class MediaFeatures(
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per partition.
   *
-  * Image decode is REAL end-to-end: [[ImageIODecoder]] decodes PNG /
-  * JPEG / GIF / BMP pixels through the JDK's `javax.imageio` (true
-  * dimensions + a 16-bin luminance-histogram content feature), and
+  * Image AND audio decode are REAL end-to-end, zero extra
+  * dependencies: [[ImageIODecoder]] decodes PNG / JPEG / GIF / BMP
+  * pixels through the JDK's `javax.imageio` (true dimensions + a
+  * 16-bin luminance-histogram content feature), [[AudioDecoder]]
+  * decodes WAV / AIFF / AU PCM through `javax.sound.sampled` (sample
+  * rate / channels / frame count + amplitude histogram), and
   * [[ImageHeaderDecoder]] parses PNG IHDR / JPEG SOF / GIF
   * logical-screen headers when only dimensions are needed (no pixel
-  * pass). Audio and video stay STUBBED ([[FakeDecoder]]: deterministic
-  * metadata and a 16-dim byte-histogram feature — no codecs in this
-  * environment). The Spark-side plumbing — schema, binary column
-  * handling, partition-batched decode via `mapPartitions` (the JVM
-  * analog of `mapInPandas`: one decoder instantiation per partition,
-  * streaming over rows), partitioning — is real and tested. Swap
-  * [[Decoder]] for a codec-backed one for audio/video in production.
+  * pass). [[JdkDecoder]] combines them. VIDEO is the one remaining
+  * stub ([[FakeDecoder]] deterministic metadata — the JDK has no video
+  * codec; swap in a codec-backed [[Decoder]] in production). The
+  * Spark-side plumbing — schema, binary column handling,
+  * partition-batched decode via `mapPartitions` (the JVM analog of
+  * `mapInPandas`: one decoder instantiation per partition, streaming
+  * over rows), partitioning — is real and tested.
   */
 object Multimodal {
 
@@ -185,6 +188,75 @@ object Multimodal {
 
     private def fallback(m: MediaItem): MediaFeatures =
       ImageHeaderDecoder.decode(Iterator.single(m)).next()
+  }
+
+  /** REAL audio decoder, zero new dependencies: `javax.sound.sampled`
+    * ships in the JDK and decodes WAV / AIFF / AU PCM. Field mapping
+    * onto the fixed [[MediaFeatures]] shape: `width` = sample rate
+    * (Hz), `height` = channel count, `n_frames` = PCM frame count;
+    * `feature` = 16-bin normalized amplitude histogram of the decoded
+    * samples (bin = (amplitude+1)/2 × 16 over [-1, 1]) — a real,
+    * deterministic content feature. 8/16-bit PCM, both endiannesses,
+    * signed and unsigned. Non-audio items and undecodable bytes fall
+    * back to [[ImageHeaderDecoder]]; video remains the one stub (the
+    * JDK has no video codec). */
+  object AudioDecoder extends Decoder {
+    def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
+      items.map { m =>
+        if (m.media_type != "audio") fallback(m)
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+          val n = bytes.length / bytesPerSample
+          val hist = new Array[Float](16)
+          var i = 0
+          while (i < n) {
+            val off = i * bytesPerSample
+            // decode one sample to [-1, 1]
+            val amp: Double = fmt.getSampleSizeInBits match {
+              case 8 =>
+                if (fmt.getEncoding ==
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                  ((bytes(off) & 0xff) - 128) / 128.0
+                else bytes(off) / 128.0
+              case _ => // 16-bit
+                val (lo, hi) =
+                  if (fmt.isBigEndian) (bytes(off + 1), bytes(off))
+                  else (bytes(off), bytes(off + 1))
+                ((hi << 8) | (lo & 0xff)) / 32768.0
+            }
+            val bin = math.min(15, math.max(0,
+              ((amp + 1.0) / 2.0 * 16).toInt))
+            hist(bin) += 1f
+            i += 1
+          }
+          MediaFeatures(m.media_id, m.media_type, m.n_bytes,
+            width = fmt.getSampleRate.toInt,
+            height = fmt.getChannels,
+            n_frames = (n / math.max(1, fmt.getChannels)),
+            feature = hist.map(_ / math.max(1f, n.toFloat)))
+        } catch { case _: Exception => fallback(m) }
+      }
+
+    private def fallback(m: MediaItem): MediaFeatures =
+      ImageHeaderDecoder.decode(Iterator.single(m)).next()
+  }
+
+  /** Full JDK decoder: image pixels via [[ImageIODecoder]], audio PCM
+    * via [[AudioDecoder]], video falls through to the deterministic
+    * stub — the most capable zero-dependency decoder. */
+  object JdkDecoder extends Decoder {
+    def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
+      items.map { m =>
+        m.media_type match {
+          case "image" => ImageIODecoder.decode(Iterator.single(m)).next()
+          case "audio" => AudioDecoder.decode(Iterator.single(m)).next()
+          case _ => FakeDecoder.decode(Iterator.single(m)).next()
+        }
+      }
   }
 
   /** Wrap a text/binary source into the media-item shape (fake content

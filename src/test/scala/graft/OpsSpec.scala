@@ -365,6 +365,39 @@ class OpsSpec extends SparkSpec {
     assert(feats(2L).width >= 1 && feats(2L).feature.length == 16)
   }
 
+  test("audio decode: real WAV PCM to rate/channels/frames/histogram") {
+    import graft.ops.Multimodal
+    // 100-frame square wave at ±0.5 amplitude, 16-bit signed LE mono
+    // 8 kHz: amplitude +0.5 -> bin 12, -0.5 -> bin 4, half each
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      true, false)
+    val pcm = new Array[Byte](100 * 2)
+    (0 until 100).foreach { i =>
+      val v = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val wavBytes = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 100),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavBytes)
+    val wav = wavBytes.toByteArray
+
+    import TestSpark.spark.implicits._
+    val items = Seq(
+      graft.ops.MediaItem(1L, "audio", wav, wav.length.toLong),
+      graft.ops.MediaItem(2L, "audio", "not audio".getBytes, 9L)).toDF()
+    val out = Multimodal.decodeFeatures(spark, items,
+      Multimodal.JdkDecoder).collect().map(f => f.media_id -> f).toMap
+    val a = out(1L)
+    assert(a.width == 8000 && a.height == 1 && a.n_frames == 100)
+    assert(a.feature(12) == 0.5f && a.feature(4) == 0.5f)
+    assert(a.feature.sum == 1.0f)
+    // undecodable audio: deterministic stub fallback, still well-formed
+    assert(out(2L).feature.length == 16)
+  }
+
   test("ImageIO pixel decode: real luminance histogram from a PNG") {
     import graft.ops.Multimodal
     // 4x2 PNG with known pixels: 4 white (luma 255 -> bin 15),
