@@ -85,7 +85,12 @@ object CompletenessQueries {
       (s, d) => {
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_orderdate"), col("o_orderkey"))
-        orders(s, d).select(
+        // corpus-proportional output: range-partition raw rows on the
+        // leading sort key — RangePartitioning(o_custkey) satisfies the
+        // window's ClusteredDistribution, so the window functions run
+        // exchange-free and the (o_custkey, rnk, o_orderkey) total order
+        // comes out of a parallel sortWithinPartitions
+        orders(s, d).repartitionByRange(col("o_custkey")).select(
           col("o_custkey"), col("o_orderkey"),
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
@@ -94,7 +99,7 @@ object CompletenessQueries {
             .over(w.rowsBetween(Window.unboundedPreceding,
               Window.currentRow))
             .cast("double").as("running_spend"))
-          .transform(QueryDef.sorted1(_, col("o_custkey"), col("rnk"), col("o_orderkey")))
+          .sortWithinPartitions("o_custkey", "rnk", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
         rank() OVER w AS rnk,
@@ -173,13 +178,19 @@ object CompletenessQueries {
     // buckets, never a nested-loop cross product. The DuckDB oracle uses
     // its native inequality join.
     QueryDef("q39_range_join",
+      // per-event output: the bucket join clusters by time bucket, so the
+      // count-per-event regroup needs its own exchange — make it the
+      // range partition the final order needs (agg runs exchange-free on
+      // it, sort comes out parallel; one exchange where hash + single-
+      // partition would have been two)
       (s, d) => graft.ops.TemporalJoins
         .rangeJoin(events(s, d), events(s, d), "ts", 300000000L,
           "event_id", "event_id")
         .filter(col("l_id") =!= col("r_id"))
+        .repartitionByRange(col("l_id"))
         .groupBy(col("l_id").as("event_id"))
         .agg(count(lit(1)).as("n_nearby"))
-        .transform(QueryDef.sorted1(_, col("event_id"))),
+        .sortWithinPartitions("event_id"),
       Some("""SELECT e1.event_id, COUNT(*) AS n_nearby
         FROM events e1 JOIN events e2
           ON epoch_us(CAST(e2.ts AS TIMESTAMP))
@@ -202,7 +213,10 @@ object CompletenessQueries {
             events(s, d), "user_id", "ts", "o_orderkey", "event_id")
           .select(col("l_id").as("o_orderkey"),
             col("matched").as("last_event_id"))
-          .transform(QueryDef.sorted1(_, col("o_orderkey")))
+          // one matched row per order: parallel range sort in tail
+          // position (the as-of union-window clusters by user_id, which
+          // the o_orderkey order can't reuse)
+          .transform(QueryDef.sortedP(_, col("o_orderkey")))
       },
       Some("""WITH u AS (
         SELECT o_custkey % 50 AS k, o_orderdate AS t, 1 AS is_left,
@@ -229,7 +243,8 @@ object CompletenessQueries {
       (s, d) => {
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_orderdate"), col("o_orderkey"))
-        orders(s, d).select(
+        // range-partition raw rows on the leading sort key (see q35)
+        orders(s, d).repartitionByRange(col("o_custkey")).select(
           col("o_custkey"), col("o_orderkey"),
           row_number().over(w).as("rn"),
           lead("o_orderkey", 1).over(w).as("next_order"),
@@ -241,7 +256,7 @@ object CompletenessQueries {
           last_value(col("o_orderkey")).over(
             w.rowsBetween(Window.unboundedPreceding,
               Window.unboundedFollowing)).as("last_order"))
-          .transform(QueryDef.sorted1(_, col("o_custkey"), col("rn")))
+          .sortWithinPartitions("o_custkey", "rn")
       },
       Some("""SELECT o_custkey, o_orderkey,
         row_number() OVER w AS rn,

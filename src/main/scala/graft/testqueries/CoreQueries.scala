@@ -23,11 +23,14 @@ object CoreQueries {
     // (reference arena.py:102-124).
     QueryDef("q01_scan_project",
       (s, d) => lineitem(s, d)
+        // the output IS the corpus: range-partition the raw scan on the
+        // sort key (projection preserves it), so the total order comes
+        // out of a parallel sortWithinPartitions — never one task
+        .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           lit("tpch").as("data_set_id"),
           lit(null).cast("string").as("git_commit_hash"))
-        .transform(QueryDef.sorted1(_, col("l_orderkey"),
-          col("l_linenumber"))),
+        .sortWithinPartitions("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
         'tpch' AS data_set_id, CAST(NULL AS VARCHAR) AS git_commit_hash
         FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
@@ -36,14 +39,18 @@ object CoreQueries {
     // (reference arena.py:96-98,172-174,186-187).
     QueryDef("q02_filter_predicates",
       (s, d) => lineitem(s, d)
+        // corpus-proportional output: range-partition the raw rows on the
+        // unique sort-key prefix (the filter pushes through the exchange
+        // to the scan; the remaining sort keys can't reorder rows under a
+        // unique prefix, so this IS the oracle's six-key total order)
+        .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
         .filter(col("l_quantity") > 30 && col("l_returnflag") =!= "A" &&
           (col("l_linestatus") === "O" || col("l_discount") < 0.05) &&
           col("l_shipdate").isNotNull)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
           "l_linestatus", "l_discount")
-        .transform(QueryDef.sorted1(_, col("l_orderkey"),
-          col("l_linenumber"), col("l_quantity"), col("l_returnflag"),
-          col("l_linestatus"), col("l_discount"))),
+        .sortWithinPartitions("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_linestatus", "l_discount"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
         l_linestatus, l_discount FROM lineitem
         WHERE l_quantity > 30 AND l_returnflag <> 'A'
@@ -145,13 +152,16 @@ object CoreQueries {
     // (reference arena.py:91-93,168-169).
     QueryDef("q06_conditional_agg",
       (s, d) => lineitem(s, d)
+        // range-partition raw rows by the grouping key (see q05): agg
+        // runs exchange-free, total order comes out parallel
+        .repartitionByRange(col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(
           max(when(col("l_returnflag") === "R", col("l_extendedprice")))
             .as("max_return_price"),
           max(col("l_returnflag") === "R").as("has_return"),
           min(col("l_shipdate")).as("first_ship"))
-        .transform(QueryDef.sorted1(_, col("l_orderkey"))),
+        .sortWithinPartitions("l_orderkey"),
       Some("""SELECT l_orderkey,
         max(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END)
           AS max_return_price,

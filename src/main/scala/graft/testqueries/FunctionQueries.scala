@@ -177,12 +177,19 @@ object FunctionQueries {
     // Term frequencies: generator (explode) + per-doc word counts — the
     // TF half of a TF-IDF pipeline.
     QueryDef("q48_term_frequencies",
+      // corpus-proportional output: range-partition raw docs on doc_id —
+      // explode preserves it, and RangePartitioning(doc_id) satisfies the
+      // (doc_id, w) grouping's ClusteredDistribution (subset rule), so
+      // the TF aggregation runs exchange-free and the (doc_id, w) total
+      // order comes out of a parallel sortWithinPartitions (all rows of
+      // one doc share a partition, partitions are doc_id ranges)
       (s, d) => documents(s, d)
+        .repartitionByRange(col("doc_id"))
         .select(col("doc_id"),
           explode(Fns.words(col("text"))).as("w"))
         .groupBy("doc_id", "w")
         .agg(count(lit(1)).as("tf"))
-        .transform(QueryDef.sorted1(_, col("doc_id"), col("w"))),
+        .sortWithinPartitions("doc_id", "w"),
       Some("""SELECT doc_id, w, COUNT(*) AS tf
         FROM (SELECT doc_id,
           unnest(string_split_regex(trim(text), '\s+')) AS w
@@ -342,7 +349,10 @@ object FunctionQueries {
             documents(s, d).agg(count(lit(1)).as("n"))))
           .select(col("doc_id"), col("w"), col("tf"),
             round(col("tf") * log(col("n") / col("df")), 6).as("tfidf"))
-          .transform(QueryDef.sorted1(_, col("doc_id"), col("w")))
+          // corpus-proportional output; the tf⋈df join clusters by w, so
+          // the (doc_id, w) order needs its own exchange — make it a
+          // parallel range sort, never one task
+          .transform(QueryDef.sortedP(_, col("doc_id"), col("w")))
       },
       Some("""WITH w AS (
         SELECT doc_id,

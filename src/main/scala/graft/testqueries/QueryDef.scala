@@ -14,14 +14,35 @@ final case class QueryDef(
     oracle: Option[String])
 
 object QueryDef {
-  /** Total-order sort for small-to-medium results of expensive pipelines:
+  /** Total-order sort for PROVABLY BOUNDED results of expensive pipelines
+    * (top-k heads, threshold-filtered pair lists, grouping-set cells):
     * shuffle everything to one partition, sort there. Identical row order
     * to orderBy(cols) but executes the upstream pipeline ONCE — a global
     * orderBy runs it twice (RangePartitioner samples the child first).
-    * Keep plain orderBy for large outputs of cheap pipelines. */
+    *
+    * NEVER use on an output that scales with the corpus — a single-task
+    * sort is a straight scale-killer at 100× (the q03 lesson). For those,
+    * range-partition on the sort keys as early as the pipeline allows
+    * (narrow ops preserve the partitioning) and finish with
+    * sortWithinPartitions, or use [[sortedP]] in tail position.
+    * PlanShapeSpec enforces this: any declared query outside its bounded
+    * allowlist that plans an `Exchange SinglePartition` fails CI. */
   def sorted1(df: DataFrame,
       cols: org.apache.spark.sql.Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Parallel total order for corpus-proportional outputs, tail position:
+    * range-partition on the sort keys, then sort within partitions —
+    * equal keys land in one partition and partitions are ordered ranges,
+    * so the concatenation is a GLOBAL order with no single-task sort
+    * (exactly what orderBy plans, spelled out). Prefer placing
+    * `repartitionByRange` EARLIER — on the raw rows, before aggregations
+    * whose grouping keys contain the partition keys (the q03/q05
+    * discipline) — when the pipeline preserves partitioning; this helper
+    * is for pipelines whose final sort keys only exist at the end. */
+  def sortedP(df: DataFrame,
+      cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
 
   /** Filter WITHOUT letting the predicate push below this point. A filter
     * on an expensive projected column (e.g. a 64-term dot product) would

@@ -100,7 +100,10 @@ object TextDedupQueries {
         val nPunct = size(regexp_extract_all(col("text"),
           lit("[^A-Za-z0-9\\s]"), lit(0)))
         val nonSpace = length(regexp_replace(col("text"), "\\s+", ""))
-        documents(s, d).select(
+        // per-document output scales with the corpus: range-partition the
+        // raw docs on the sort key (the per-row projection preserves it)
+        // and finish with a parallel sortWithinPartitions
+        documents(s, d).repartitionByRange(col("doc_id")).select(
           col("doc_id"),
           nWords.as("n_words"),
           nStop.as("n_stop"),
@@ -110,7 +113,7 @@ object TextDedupQueries {
           ((nStop / nWords) * 0.5 +
             when(nWords >= 20, 0.5).otherwise(nWords * 0.025))
             .as("quality_score"))
-          .transform(QueryDef.sorted1(_, col("doc_id")))
+          .sortWithinPartitions("doc_id")
       },
       Some(s"""SELECT doc_id,
         len(string_split_regex(trim(text), '\\s+')) AS n_words,
@@ -146,7 +149,9 @@ object TextDedupQueries {
         val sFr = hits(Seq("le", "la", "les", "et", "est"))
         val sZh = size(regexp_extract_all(col("text"),
           lit("[一-鿿]"), lit(0)))
-        documents(s, d).select(col("doc_id"), col("lang").as("actual_lang"),
+        // per-document output: range-partition raw docs (see q17)
+        documents(s, d).repartitionByRange(col("doc_id"))
+          .select(col("doc_id"), col("lang").as("actual_lang"),
           sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
           sZh.as("s_zh"),
           when(sZh > 0, "zh")
@@ -154,7 +159,7 @@ object TextDedupQueries {
             .when(sDe >= sEs && sDe >= sFr, "de")
             .when(sEs >= sFr, "es")
             .otherwise("fr").as("predicted_lang"))
-          .transform(QueryDef.sorted1(_, col("doc_id")))
+          .sortWithinPartitions("doc_id")
       },
       Some {
         def hitsSql(l: Seq[String]) =
@@ -215,9 +220,12 @@ object TextDedupQueries {
     // shingles) — the portable 60-bit hash makes the signature itself
     // engine-checkable.
     QueryDef("q21_minhash_signatures",
+      // per-document output: parallel range sort in tail position (the
+      // shingle distinct inside minhashSig repartitions by (doc, shingle),
+      // so there is no partitioning to preserve from the source)
       (s, d) => minhash(s, d)
         .select(col("doc_id"), array_join(col("sig"), ",").as("sig"))
-        .transform(QueryDef.sorted1(_, col("doc_id"))),
+        .transform(QueryDef.sortedP(_, col("doc_id"))),
       Some(s"""WITH $minhashSql
       SELECT doc_id,
         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
@@ -287,7 +295,12 @@ object TextDedupQueries {
         val votes = bits.map(b =>
           sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
             .otherwise(-1)).as(s"v$b"))
+        // range-partition raw docs by the sort key: the explode
+        // (Generate) preserves it, the per-doc vote aggregation runs
+        // exchange-free on it, and the total order comes out parallel —
+        // one range exchange total, no single-task sort
         val voted = documents(s, d)
+          .repartitionByRange(col("doc_id"))
           .select(col("doc_id"),
             explode(Fns.words(col("text"))).as("w"))
           .withColumn("h", Fns.portableHash60(col("w")))
@@ -296,7 +309,7 @@ object TextDedupQueries {
         voted.select(col("doc_id"),
           bits.map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b))
             .otherwise(0L)).reduce(_ + _).as("simhash"))
-          .transform(QueryDef.sorted1(_, col("doc_id")))
+          .sortWithinPartitions("doc_id")
       },
       Some {
         val votes = (0 until 32).map(b =>
@@ -319,12 +332,15 @@ object TextDedupQueries {
     // language ID → exact dedup keep-first — the composed pretraining
     // corpus filter, oracle-verified through the library operator itself.
     QueryDef("q53_curation",
+      // kept-corpus output scales with the input: parallel range sort in
+      // tail position (curate's dedup stage shuffles by content digest,
+      // so no source partitioning survives to reuse)
       (s, d) => graft.ops.TextAnalysis
         .curate(documents(s, d), "doc_id", "text",
           minWords = 10, minQuality = 0.3)
         .select(col("doc_id"), col("predicted_lang"), col("n_words"),
           col("quality_score"))
-        .transform(QueryDef.sorted1(_, col("doc_id"))),
+        .transform(QueryDef.sortedP(_, col("doc_id"))),
       Some {
         // mirrors TextAnalysis exactly: 5-word stopword lists, unlowered
         // words for quality, lowered for language ID, argmax tie order

@@ -73,6 +73,44 @@ class PlanShapeSpec extends SparkSpec {
       s"dedup must be one digest shuffle (+ output sort):\n${planOf(df)}")
   }
 
+  test("no corpus-proportional declared query sorts through one task") {
+    // Single-task sorts (Exchange SinglePartition) are allowed ONLY for
+    // provably bounded results or inherent 1-row scalar aggregates.
+    // Everything else must produce its total order in parallel
+    // (rangepartitioning + sortWithinPartitions).
+    val allowed: Map[String, String] = Map(
+      "q09_behavioral_clustering" -> "clusters ≪ corpus (ranked head)",
+      "q11_two_level_agg" -> "global scalar aggregate: 1 row",
+      "q22_minhash_lsh_candidates" -> "threshold-filtered pair list",
+      "q23_ngram_jaccard" -> "threshold-filtered pair list",
+      "q25_cosine_topk" -> "top-k per query vector",
+      "q26_embedding_neardup" -> "threshold-filtered pair list",
+      "q34_rollup" -> "grouping-set cells",
+      "q37_scalar_subquery" -> "broadcast 1-row scalar aggregate",
+      "q44_cube" -> "grouping-set cells",
+      "q50_consensus_verdicts" -> "implementations ≪ observations",
+      "q56_tfidf" -> ("broadcast 1-row corpus-size aggregate (the " +
+        "output sort itself is a parallel range sort)"))
+    // q58 excluded: building its frame executes the full
+    // write→stream→append loop (side effects, ~seconds); its final
+    // query is perProblemStats, which ends in a parallel orderBy.
+    val skip = Set("q58_stream_ingest_stats")
+    graft.testqueries.Registry.all
+      .filterNot(q => skip(q.name)).foreach { q =>
+        val plan = planOf(q.run(spark, sf))
+        val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+        if (allowed.contains(q.name)) {
+          assert(singles <= 1,
+            s"${q.name}: bounded allowlist permits ONE single-partition " +
+              s"exchange (${allowed(q.name)}), found $singles:\n$plan")
+        } else {
+          assert(singles == 0,
+            s"${q.name} plans a single-task exchange — a corpus-" +
+              s"proportional output must range-sort in parallel:\n$plan")
+        }
+      }
+  }
+
   test("interactive canonical path stays a single stage, zero exchanges") {
     // the zero-exchange claim covers SRM + clustering (+ the join, which
     // broadcasts its dims); per_problem_stats is NOT claimed — its
