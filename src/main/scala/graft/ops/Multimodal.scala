@@ -259,6 +259,76 @@ object Multimodal {
       }
   }
 
+  /** Deterministic synthetic media: REAL PNG and WAV bytes whose decoded
+    * content is exactly predictable by integer arithmetic — the
+    * generator behind the decoder oracle gate (q64_media_decode). PNG is
+    * lossless and the BT.601 integer luma of a gray pixel (g,g,g) is
+    * exactly g, WAV PCM roundtrips bit-exact, so a SQL-only engine can
+    * replay every decoded value (dimensions, histogram bins) in closed
+    * form without a codec. */
+  object SyntheticMedia {
+
+    /** Gray PNG: w = 8 + (i%5)·4, h = 8 + (i%3)·4, pixel gray
+      * g(x,y) = (x·7 + y·13 + i·31) mod 256. Decoded luminance bin of
+      * each pixel is exactly g >> 4. */
+    def pngItem(i: Long): MediaItem = {
+      val w = (8 + (i % 5) * 4).toInt
+      val h = (8 + (i % 3) * 4).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = ((x * 7 + y * 13 + i * 31) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      val b = baos.toByteArray
+      MediaItem(i, "image", b, b.length.toLong)
+    }
+
+    /** Mono 16-bit signed little-endian PCM WAV at 8000 Hz (hand-rolled
+      * 44-byte RIFF header): n = 2000 + (i%5)·400 samples, sample
+      * s(j) = ((j·1103 + i·12345) mod 65536) − 32768. The decoder's
+      * amplitude bin of s is ((s+32768)/65536)·16 = (s+32768) div 4096 —
+      * exact in double (power-of-two division) and in integer SQL. */
+    def wavItem(i: Long): MediaItem = {
+      val n = (2000 + (i % 5) * 400).toInt
+      val data = new Array[Byte](n * 2)
+      var j = 0
+      while (j < n) {
+        val s = (((j.toLong * 1103 + i * 12345) % 65536) - 32768).toInt
+        data(2 * j) = (s & 0xff).toByte
+        data(2 * j + 1) = ((s >> 8) & 0xff).toByte
+        j += 1
+      }
+      val out = new java.io.ByteArrayOutputStream(44 + data.length)
+      def le16(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16(v >>> 16) }
+      out.write("RIFF".getBytes); le32(36 + data.length)
+      out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); le32(16)
+      le16(1); le16(1)        // PCM, mono
+      le32(8000); le32(16000) // sample rate, byte rate
+      le16(2); le16(16)       // block align, bits per sample
+      out.write("data".getBytes); le32(data.length)
+      out.write(data)
+      val b = out.toByteArray
+      MediaItem(i, "audio", b, b.length.toLong)
+    }
+
+    /** Alternating media kind by id: even → PNG image, odd → WAV audio. */
+    def item(i: Long): MediaItem =
+      if (i % 2 == 0) pngItem(i) else wavItem(i)
+  }
+
   /** Wrap a text/binary source into the media-item shape (fake content
     * for this environment; real pipelines read binary files or BLOB
     * columns directly). */

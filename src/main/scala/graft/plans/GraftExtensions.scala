@@ -33,5 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TraceFingerprintAgg.info, TraceFingerprintAgg.builder))
     ext.injectFunction((KeyedMinAgg.identifier, KeyedMinAgg.info,
       KeyedMinAgg.builder))
+    ext.injectFunction((OrderedSigAgg.identifier, OrderedSigAgg.info,
+      OrderedSigAgg.builder))
   }
 }

@@ -63,11 +63,24 @@ object CanonicalQueries {
 
   /** Dynamic-pivot variant (reference behavior: column set is
     * data-dependent). Two jobs: distinct pass then pivot. Sorted for
-    * deterministic column order. */
-  def srmOutputViewDynamic(observations: DataFrame): DataFrame = {
+    * deterministic column order.
+    *
+    * Width guard: the discovered implementation list is unbounded —
+    * an adversarial problem with 10⁵ implementations would both blow
+    * the driver-side column list and (in the pivot form) exceed
+    * `spark.sql.pivotMaxValues` semantics silently. Above `maxWidth`
+    * implementations the view is built through [[srmOutputViewChunked]]
+    * (maxWidth-column pivots joined on the (test_id, step_id) spine)
+    * instead of one flat aggregation. Results are identical either way
+    * (spec-asserted); `maxWidth` defaults to Spark's own
+    * `pivotMaxValues` default. */
+  def srmOutputViewDynamic(observations: DataFrame,
+      maxWidth: Int = 10000): DataFrame = {
+    require(maxWidth > 0)
     val impls = observations.select("implementation_id").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    srmOutputView(observations, impls)
+    if (impls.size <= maxWidth) srmOutputView(observations, impls)
+    else srmOutputViewChunked(observations, impls, maxWidth)
   }
 
   /** Chunked pivot for very wide implementation sets (SURVEY §7:
@@ -93,9 +106,20 @@ object CanonicalQueries {
   }
 
   /** Per-(impl, test, run) output-trace signature — the inner stage of
-    * clustering (`benchmark_behavioral_clustering.py:53-62`). */
+    * clustering (`benchmark_behavioral_clustering.py:53-62`). The fused
+    * native form (`plans/OrderedSigAgg`): one aggregation operator
+    * emitting `md5(to_json(list(output ORDER BY step_id, output)))`
+    * bit-for-bit — same grouping semantics as the composed chain
+    * [[traceSigComposed]] (spec-asserted), no per-group interpreted
+    * to_json. Fixed-width 128-bit sigs also shrink the downstream
+    * vote shuffle vs raw JSON traces. */
   private def traceSig: Column =
-    to_json(Fns.orderedCollect(col("step_id"), col("output")))
+    graft.plans.OrderedSigAgg.sig(col("step_id"), col("output"))
+
+  /** The pure-built-in signature chain — bit-parity reference for
+    * [[traceSig]] (md5 added on top so the two forms are comparable). */
+  private[graft] def traceSigComposed: Column =
+    md5(to_json(Fns.orderedCollect(col("step_id"), col("output"))))
 
   /** Q2 — behavioral clustering (`benchmark_behavioral_clustering.py:
     * 49-96`): per-test trace signatures → per-impl fingerprint → group by

@@ -229,11 +229,16 @@ object FunctionQueries {
         // partitionBy(order) — and the first grouping compresses nothing
         // (580k groups from 600k rows), so shuffling raw rows costs the
         // same bytes as shuffling partial-agg buffers
+        // fused native signature (plans/OrderedSigAgg): bit-identical to
+        // md5(to_json(orderedCollect(...))) — required, because the
+        // consensus tie-break below orders by the sig STRING and the
+        // DuckDB mirror must agree — but one aggregation operator with
+        // no per-group interpreted to_json
         val votes = lineitem(s, d)
           .repartition(col("l_orderkey"))
           .groupBy("l_suppkey", "l_orderkey")
-          .agg(md5(to_json(Fns.orderedCollect(col("l_linenumber"),
-            col("l_returnflag")))).as("sig"))
+          .agg(graft.plans.OrderedSigAgg.sig(col("l_linenumber"),
+            col("l_returnflag")).as("sig"))
           .groupBy("l_orderkey", "sig")
           .agg(collect_set(col("l_suppkey")).as("supps"))
           .withColumn("votes", size(col("supps")))

@@ -462,6 +462,57 @@ object TextDedupQueries {
         < CASE WHEN lang = 'en' THEN 250000
             WHEN lang = 'de' THEN 500000
             ELSE 1000000 END
+      ORDER BY doc_id""")),
+
+    // Near-dup group collapse under the oracle gate: the q22 LSH
+    // candidate pairs → connected components (Dedup.nearDupGroups'
+    // min-label fixpoint) → per-document group id + keep-first flag.
+    // The DuckDB mirror reaches the same fixpoint with a recursive CTE:
+    // on an undirected edge list, the set of ids reachable from a node
+    // is its component, so MIN(reachable id) = the component's min
+    // label — exactly what the iterative propagation converges to.
+    QueryDef("q65_neardup_groups",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = graft.ops.Dedup.minhashLsh(docs, "doc_id", "text")
+        val groups = graft.ops.Dedup
+          .nearDupGroups(pairs, "a_id", "b_id")
+          .withColumnRenamed("id", "doc_id")
+        // corpus-proportional output: parallel range sort (sortedP)
+        docs.select(col("doc_id"))
+          .join(groups, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("group_id"), col("doc_id")).as("group_id"),
+            when(coalesce(col("group_id"), col("doc_id"))
+              === col("doc_id"), 1).otherwise(0).as("kept"))
+          .transform(QueryDef.sortedP(_, col("doc_id")))
+      },
+      Some(s"""WITH RECURSIVE $minhashSql,
+      sig AS (
+        SELECT doc_id, list(CAST(mh AS VARCHAR) ORDER BY j) AS sig
+        FROM mh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b,
+          md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ','
+            || sig[b*4+4]) AS bh
+        FROM sig, UNNEST(range(0, 4)) t(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM cand
+        UNION SELECT b_id, a_id FROM cand),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      lbl AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id)
+      SELECT d.doc_id,
+        COALESCE(l.group_id, d.doc_id) AS group_id,
+        CASE WHEN COALESCE(l.group_id, d.doc_id) = d.doc_id THEN 1
+          ELSE 0 END AS kept
+      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
       ORDER BY doc_id"""))
   )
 }

@@ -302,6 +302,66 @@ object VectorEventQueries {
       SELECT vec_id, q_scale,
         CAST(list_sum(qv) AS BIGINT) AS q_sum,
         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_l2
-      FROM q ORDER BY vec_id"""))
+      FROM q ORDER BY vec_id""")),
+
+    // REAL decoders under the oracle gate: synthesize deterministic PNG
+    // and WAV bytes column-side (Multimodal.SyntheticMedia), decode them
+    // with the REAL JDK codecs (ImageIO pixel pass / javax.sound PCM —
+    // NOT the header parser or the stub), and emit integer outputs:
+    // decoded dimensions plus the per-bin histogram counts recovered
+    // exactly from the normalized feature vector. The DuckDB mirror
+    // replays the expected values from the same closed-form generation
+    // in pure integer arithmetic (the q59 pattern — PNG is lossless,
+    // gray-pixel luma is exactly g, PCM is exact): a codec-free engine
+    // hash-verifies a codec-full decode.
+    QueryDef("q64_media_decode",
+      (s, d) => {
+        import s.implicits._
+        val items = nation(s, d)
+          .select(col("n_nationkey").cast("long").as("id")).as[Long]
+          .mapPartitions(_.map(graft.ops.Multimodal.SyntheticMedia.item))
+        graft.ops.Multimodal
+          .decodeFeatures(s, items.toDF(), graft.ops.Multimodal.JdkDecoder)
+          .toDF()
+          .select(col("media_id"), col("media_type"),
+            col("width"), col("height"), col("n_frames"),
+            // feature[b] = count_b / n with n ≤ 3600 ⇒ float error far
+            // below 0.5, so round() recovers the exact integer count
+            concat_ws(",", transform(col("feature"), f =>
+              round(f.cast("double") *
+                when(col("media_type") === "image",
+                  col("width") * col("height"))
+                  .otherwise(col("n_frames"))).cast("long"))).as("hist"))
+          .orderBy("media_id")
+      },
+      Some("""WITH ids AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS i FROM nation),
+      img AS (
+        SELECT i, 8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h
+        FROM ids WHERE i % 2 = 0),
+      ipix AS (
+        SELECT i, ((x * 7 + y * 13 + i * 31) % 256) // 16 AS bin
+        FROM img, UNNEST(range(0, w)) tx(x), UNNEST(range(0, h)) ty(y)),
+      ibins AS (SELECT i, list(bin) AS bins FROM ipix GROUP BY i),
+      aud AS (
+        SELECT i, 2000 + (i % 5) * 400 AS n FROM ids WHERE i % 2 = 1),
+      apix AS (
+        SELECT i, ((j * 1103 + i * 12345) % 65536) // 4096 AS bin
+        FROM aud, UNNEST(range(0, n)) tj(j)),
+      abins AS (SELECT i, list(bin) AS bins FROM apix GROUP BY i),
+      allrows AS (
+        SELECT img.i AS media_id, 'image' AS media_type,
+          CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+          CAST(1 AS INTEGER) AS n_frames, b.bins
+        FROM img JOIN ibins b ON img.i = b.i
+        UNION ALL
+        SELECT aud.i, 'audio', CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
+          CAST(n AS INTEGER), b.bins
+        FROM aud JOIN abins b ON aud.i = b.i)
+      SELECT media_id, media_type, width, height, n_frames,
+        array_to_string(list_transform(range(0, 16),
+          b -> CAST(len(list_filter(bins, x -> x = b)) AS VARCHAR)), ',')
+          AS hist
+      FROM allrows ORDER BY media_id"""))
   )
 }

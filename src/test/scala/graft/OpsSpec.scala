@@ -437,4 +437,35 @@ class OpsSpec extends SparkSpec {
     // audio falls back to the stub (no codec): still well-formed
     assert(out(3L).feature.length == 16)
   }
+
+  test("synthetic media decodes to its closed-form histogram (q64 gate)") {
+    import graft.ops.Multimodal
+    import TestSpark.spark.implicits._
+    // the q64 oracle's premise, checked at the library level: decoding
+    // SyntheticMedia through the REAL JDK codecs reproduces the integer
+    // formulas the SQL mirror replays
+    val items = Seq(2L, 7L).map(Multimodal.SyntheticMedia.item).toDF()
+    val out = Multimodal.decodeFeatures(spark, items,
+      Multimodal.JdkDecoder).collect().map(f => f.media_id -> f).toMap
+    // i=2: PNG, w = 8+(2%5)*4 = 16, h = 8+(2%3)*4 = 16
+    val img = out(2L)
+    assert(img.media_type == "image" && img.width == 16 &&
+      img.height == 16 && img.n_frames == 1)
+    val wantImg = new Array[Int](16)
+    for (x <- 0 until 16; y <- 0 until 16)
+      wantImg(((x * 7 + y * 13 + 2 * 31) % 256) / 16) += 1
+    (0 until 16).foreach { b =>
+      assert(math.round(img.feature(b) * 256.0) == wantImg(b), s"bin $b")
+    }
+    // i=7: WAV, n = 2000+(7%5)*400 = 2800 samples @8000 Hz mono
+    val aud = out(7L)
+    assert(aud.media_type == "audio" && aud.width == 8000 &&
+      aud.height == 1 && aud.n_frames == 2800)
+    val wantAud = new Array[Int](16)
+    for (j <- 0 until 2800)
+      wantAud(((j * 1103 + 7 * 12345) % 65536) / 4096) += 1
+    (0 until 16).foreach { b =>
+      assert(math.round(aud.feature(b) * 2800.0) == wantAud(b), s"bin $b")
+    }
+  }
 }

@@ -264,6 +264,129 @@ class PlansSpec extends SparkSpec {
     assert(fps.values.toSet.size > 1)
   }
 
+  test("OrderedSigAgg: bit parity with md5(to_json(orderedCollect)) " +
+      "under adversarial merges") {
+    import graft.plans.OrderedSigAgg
+    // JSON-escaping + collation torture: quotes, backslashes, named and
+    // \u00XX control escapes, U+FFFF vs supplementary plane (UTF-16
+    // order diverges from UTF-8 binary order there), empties, NULL
+    // values AND NULL ord keys, duplicate ords (tie-break on value)
+    val vocab = Seq("a", "", "\"quote\"", "back\\slash",
+      "ctl", "nl\nlf\ttab\fff\bbs\rcr", "中文",
+      "￿", "𐀀" /* U+10000 */, "😀 emoji", null)
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 500).map { _ =>
+      (s"g${rnd.nextInt(8)}",
+        if (rnd.nextInt(10) == 0) Option.empty[Int]
+        else Some(rnd.nextInt(5)),
+        vocab(rnd.nextInt(vocab.size)))
+    }
+    val base = rows.toDF("g", "o", "v")
+    // the sig must be identical for EVERY partition count and input row
+    // order — partial-merge boundaries and buffer order must not leak
+    Seq(1, 3, 7, 32).foreach { k =>
+      val df = base.orderBy(rand(k)).repartition(k)
+      val out = df.groupBy("g").agg(
+        OrderedSigAgg.sig(col("o"), col("v")).as("native"),
+        md5(to_json(Fns.orderedCollect(col("o"), col("v"))))
+          .as("composed"))
+        .collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        assert(r.getString(1) == r.getString(2),
+          s"k=$k g=${r.getString(0)}")
+      }
+    }
+    // SQL surface via the extensions-injected function
+    spark.sessionState.functionRegistry.registerFunction(
+      OrderedSigAgg.identifier, OrderedSigAgg.info, OrderedSigAgg.builder)
+    base.createOrReplaceTempView("sig_rows")
+    assert(spark.sql(
+      "SELECT g, graft_ordered_sig(o, v) AS s FROM sig_rows GROUP BY g")
+      .count() == 8)
+  }
+
+  test("native aggregates: randomized partition counts and merge order " +
+      "(property)") {
+    import graft.plans.{KeyedMinAgg, TraceFingerprintAgg}
+    val vocab = Seq("a", "", "￿", "𐀀", "中", "z~", null)
+    val rnd = new scala.util.Random(29)
+    val obs = (0 until 300).map { _ =>
+      (s"impl${rnd.nextInt(8)}", s"t${rnd.nextInt(4)}",
+        s"r${rnd.nextInt(2)}",
+        if (rnd.nextInt(12) == 0) Option.empty[Int]
+        else Some(rnd.nextInt(6)),
+        vocab(rnd.nextInt(vocab.size)))
+    }
+    val base = obs.toDF("impl", "test", "run", "step", "out")
+    def membership(fps: Seq[(String, String)]): Set[Set[String]] =
+      fps.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    // composed two-stage chain (behavioralClusteringComposed shape) =
+    // the partitioning-independent membership reference
+    val composedRef = membership {
+      base.groupBy("impl", "test", "run")
+        .agg(md5(to_json(Fns.orderedCollect(col("step"), col("out"))))
+          .as("sig"))
+        .groupBy("impl")
+        .agg(md5(to_json(Fns.orderedCollect(
+          struct(col("test"), col("run")), md5(col("sig"))))).as("fp"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    }
+    val kmTruth = base
+      .filter(col("test").isNotNull && col("out").isNotNull)
+      .groupBy("impl", "test").agg(min(col("out")).as("minv"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    var fpAtK: Map[Int, Map[String, String]] = Map.empty
+    Seq(1, 2, 5, 13, 32).foreach { k =>
+      val df = base.orderBy(rand(k + 100)).repartition(k)
+      // trace fingerprint: same clusters as the composed chain at every
+      // partition count, and the fp VALUES identical across counts
+      val fps = df.groupBy("impl")
+        .agg(TraceFingerprintAgg.fingerprint(col("test"), col("run"),
+          col("step"), col("out")).as("fp"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+      assert(membership(fps) == composedRef, s"k=$k")
+      fpAtK += k -> fps.toMap
+      // keyed min: ground truth at every partition count
+      val km = df.groupBy("impl")
+        .agg(KeyedMinAgg.keyedMin(col("test"), col("out")).as("m"))
+        .select(col("impl"), explode(col("m")).as(Seq("key", "minv")))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(km == kmTruth, s"k=$k")
+    }
+    assert(fpAtK.values.toSet.size == 1,
+      "fingerprints must not depend on partitioning")
+  }
+
+  test("ObservationStepAgg: fused = composed at every partition count") {
+    val cells = (1 to 400).flatMap { i =>
+      Seq(
+        (s"e${i % 2}", s"p${i % 3}", s"sys${i % 5}", "", "0",
+          s"t${i % 7}", "a1", i % 4, i % 6, "input_value",
+          if (i % 13 == 0) null else s"in{$i}\"中", i.toDouble),
+        (s"e${i % 2}", s"p${i % 3}", s"sys${i % 5}", "", "0",
+          s"t${i % 7}", "a1", i % 4 + 4, i % 6, "value", s"out$i",
+          i.toDouble * 2),
+        (s"e${i % 2}", s"p${i % 3}", s"sys${i % 5}", "", "0",
+          s"t${i % 7}", "a1", 0, i % 6, "op", "invoke", i.toDouble))
+    }.toDF("EXECUTIONID", "ABSTRACTIONID", "SYSTEMID", "VARIANTID",
+      "ADAPTERID", "SHEETID", "ARENAID", "X", "Y", "TYPE", "VALUE",
+      "EXECUTIONTIME")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.drop("created_at")
+        .orderBy("implementation_id", "test_id", "run_id", "step_id")
+        .collect().map(_.toSeq).toSeq
+    Seq(1, 5, 17).foreach { k =>
+      val shuffled = cells.orderBy(rand(k)).repartition(k)
+      assert(rows(graft.ingest.ArenaIngest
+          .observationsFromArena(shuffled, "DS"))
+        == rows(graft.ingest.ArenaIngest
+          .observationsFromArenaComposed(shuffled, "DS")), s"k=$k")
+    }
+  }
+
   test("OrderedStringAggregator matches Fns.orderedStringAgg") {
     val agg = udaf(new OrderedStringAggregator)
     val df = Seq((1, 3, "c"), (1, 1, "a"), (1, 2, null),
