@@ -71,8 +71,15 @@ object IngestBench {
     val phase = sys.env.get("SPARK_GRAFT_INGEST_PHASE")
     // 20 problems < 32 cores: shard within problems so the single
     // exchange fans out problems×shards ways (clusterByProblem doc);
-    // cost is `shards` files per partition dir
-    val shards = sys.env.getOrElse("SPARK_GRAFT_INGEST_SHARDS", "1").toInt
+    // cost is `shards` files per partition dir. Unset = data-driven
+    // (clusterByProblemAuto → 2 here).
+    val shardsEnv = sys.env.get("SPARK_GRAFT_INGEST_SHARDS").map(_.toInt)
+    // the shard decision is per-EXPORT (layout choice), not per-append:
+    // the auto probe runs once here, outside the timed reps
+    lazy val clustered = shardsEnv match {
+      case Some(s) => ArenaIngest.clusterByProblem(raw, s)
+      case None => ArenaIngest.clusterByProblemAuto(raw)
+    }
     // A/B the fused ObservationStepAgg against the composed HOF chain
     val composed = sys.env.get("SPARK_GRAFT_INGEST_COMPOSED")
       .exists(_.toBoolean)
@@ -80,27 +87,67 @@ object IngestBench {
       if (composed)
         ArenaIngest.observationsFromArenaComposed(in, "IngestBench")
       else ArenaIngest.observationsFromArena(in, "IngestBench")
+    // phase=ceiling — the write-side I/O floor: the final frame is
+    // computed ONCE (scan + regroup + append-layout sort), pinned in
+    // cache, and the timed pass is nothing but the partitioned parquet
+    // write of those cached rows at the exact append layout. obs_per_sec
+    // here is the throughput the storage layer allows if scan+regroup
+    // were free; the full pipeline's number is graded against it.
+    lazy val ceilingFrame = {
+      val sortCols = Seq("implementation_id", "test_id", "step_id")
+      val aligned = lake.align(
+        regroup(clustered),
+        Schemas.observations)
+      val sorted = aligned.sortWithinPartitions(
+        (Schemas.partitionCols ++ sortCols).map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sorted.count() // materialize outside the timed window
+      sorted
+    }
     def ingest(warehouse: Lakehouse): Unit = phase match {
       case Some("scan") =>
         raw.write.format("noop").mode("overwrite").save()
       case Some("agg") =>
-        regroup(ArenaIngest.clusterByProblem(raw, shards))
+        regroup(clustered)
           .write.format("noop").mode("overwrite").save()
+      case Some("shuffle") =>
+        // scan + the one exchange, no aggregation: the data-motion floor
+        // the regroup pays before any aggregate work
+        clustered
+          .write.format("noop").mode("overwrite").save()
+      case Some("ceiling") =>
+        ceilingFrame.write.mode("append")
+          .partitionBy(Schemas.partitionCols: _*)
+          .parquet(java.nio.file.Files
+            .createTempDirectory("ingest-ceiling").toString)
       case _ =>
         warehouse.append("observations",
-          regroup(ArenaIngest.clusterByProblem(raw, shards)),
+          regroup(clustered),
           Schemas.observations,
           sortCols = Seq("implementation_id", "test_id", "step_id"),
           clustered = true)
     }
     ingest(new Lakehouse(spark,
       java.nio.file.Files.createTempDirectory("ingest-warm").toString))
-    System.gc()
-    val t0 = System.nanoTime()
-    ingest(lake)
-    val secs = (System.nanoTime() - t0) / 1e9
+    // min-of-N (SPARK_GRAFT_INGEST_REPS): single-pass numbers swing
+    // ±30% from GC/JIT noise across JVMs; each rep appends into a fresh
+    // warehouse so the timed work is identical.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_INGEST_REPS", "1").toInt
+    val secs = (0 until reps).map { i =>
+      val target =
+        if (i == reps - 1) lake
+        else new Lakehouse(spark, java.nio.file.Files
+          .createTempDirectory(s"ingest-rep$i").toString)
+      System.gc()
+      val t0 = System.nanoTime()
+      ingest(target)
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // phase runs write to a noop sink — no table to count
-    val nObs = if (phase.isEmpty) lake.observations.count() else 0L
+    val nObs =
+      if (phase.isEmpty) lake.observations.count()
+      else if (phase.contains("ceiling")) ceilingFrame.count()
+      else 0L
     println(f"INGEST cells=$nCells obs=$nObs secs=$secs%.2f " +
       f"cells_per_sec=${nCells / secs}%.0f obs_per_sec=${nObs / secs}%.0f" +
       phase.fold("")(p => s" phase=$p"))
