@@ -35,5 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KeyedMinAgg.builder))
     ext.injectFunction((OrderedSigAgg.identifier, OrderedSigAgg.info,
       OrderedSigAgg.builder))
+    ext.injectFunction((ZOrderExpr.identifier, ZOrderExpr.info,
+      ZOrderExpr.builder))
   }
 }

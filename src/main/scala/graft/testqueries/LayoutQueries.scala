@@ -1,0 +1,81 @@
+package graft.testqueries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+import graft.ops.BloomPrune
+import graft.plans.ZOrderExpr
+
+/** Physical-layout operators under the oracle gate: the Z-order curve
+  * key ([[graft.plans.ZOrderExpr]] — the multi-dimensional data-skipping
+  * layout, see [[graft.ops.Layout]]) and explicit bloom-filter join
+  * pruning ([[graft.ops.BloomPrune]] — runtime row-level filtering as a
+  * first-class operator). Both are exactly checkable: the Morton
+  * interleave is pure integer bit arithmetic the DuckDB mirror replays
+  * with the identical magic-number chain, and a bloom-pruned exact join
+  * is bit-identical to the plain join (false positives cleared by the
+  * join itself).
+  */
+object LayoutQueries {
+  import Tables._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // The 2-D Morton interleave evaluated over the whole corpus (the
+    // layout key zorderBy sorts by), aggregated per curve bucket so the
+    // oracle checks every row's z-value through exact integer sums.
+    // Dims bounded to 15 bits -> z < 2^30, buckets <= 4096 (bounded).
+    QueryDef("q66_zorder_curve",
+      (s, d) => lineitem(s, d)
+        .select(ZOrderExpr.zorder(
+          col("l_partkey") % 32768, col("l_suppkey") % 32768).as("z"))
+        .groupBy(shiftright(col("z"), 18).as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+          sum(col("z")).as("z_sum"))
+        .orderBy("z_bucket"),
+      Some("""WITH d AS (
+        SELECT CAST(l_partkey % 32768 AS BIGINT) AS x,
+               CAST(l_suppkey % 32768 AS BIGINT) AS y
+        FROM lineitem),
+      s1 AS (SELECT (x | (x << 16)) & 281470681808895 AS xa,
+                    (y | (y << 16)) & 281470681808895 AS ya FROM d),
+      s2 AS (SELECT (xa | (xa << 8)) & 71777214294589695 AS xb,
+                    (ya | (ya << 8)) & 71777214294589695 AS yb FROM s1),
+      s3 AS (SELECT (xb | (xb << 4)) & 1085102592571150095 AS xc,
+                    (yb | (yb << 4)) & 1085102592571150095 AS yc FROM s2),
+      s4 AS (SELECT (xc | (xc << 2)) & 3689348814741910323 AS xd,
+                    (yc | (yc << 2)) & 3689348814741910323 AS yd FROM s3),
+      s5 AS (SELECT (xd | (xd << 1)) & 6148914691236517205 AS xs,
+                    (yd | (yd << 1)) & 6148914691236517205 AS ys FROM s4),
+      zt AS (SELECT xs + 2 * ys AS z FROM s5)
+      SELECT z >> 18 AS z_bucket, count(*) AS n_rows,
+        min(z) AS z_min, max(z) AS z_max, CAST(sum(z) AS BIGINT) AS z_sum
+      FROM zt GROUP BY z_bucket ORDER BY z_bucket""")),
+
+    // Bloom-pruned exact join: orders probe-filtered by a distributed
+    // bloom over the selective customer subset's keys, then exactly
+    // joined (false positives cleared) — result == the plain join the
+    // oracle runs. The bloom build + probe execute inside the declared
+    // query, so the correctness row exercises BloomFilterAggregate AND
+    // BloomFilterMightContain end-to-end.
+    QueryDef("q67_bloom_prune_join",
+      (s, d) => {
+        val cust = customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING" &&
+            col("c_acctbal") > 7500)
+          .select(col("c_custkey"))
+        BloomPrune.prunedEquiJoin(orders(s, d), cust,
+            col("o_custkey"), col("c_custkey"), expectedItems = 100000L)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            Fns.sumDec(col("o_totalprice")).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+          AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
+}

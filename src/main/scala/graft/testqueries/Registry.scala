@@ -4,5 +4,5 @@ package graft.testqueries
 object Registry {
   def all: Seq[QueryDef] =
     CoreQueries.all ++ TextDedupQueries.all ++ VectorEventQueries.all ++
-      CompletenessQueries.all ++ FunctionQueries.all
+      CompletenessQueries.all ++ FunctionQueries.all ++ LayoutQueries.all
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{BloomPrune, Layout}
+import graft.plans.ZOrderExpr
+
+class LayoutSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  /** Bit-by-bit reference interleave (independent of the magic-number
+    * fast path under test). */
+  private def refZ(dims: Seq[Long]): Long = {
+    val n = dims.size
+    val bits = 64 / n
+    var z = 0L
+    for (d <- 0 until n; i <- 0 until bits)
+      z |= (((dims(d) & ((1L << bits) - 1)) >>> i) & 1L) << (i * n + d)
+    z
+  }
+
+  test("ZOrderExpr 2-D matches the bit-by-bit reference (codegen path)") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map(_ =>
+      (rnd.nextLong() & 0xFFFFFFFFL, rnd.nextLong() & 0xFFFFFFFFL))
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrderExpr.zorder(col("x"), col("y")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == refZ(Seq(r.getLong(0), r.getLong(1))))
+    }
+  }
+
+  test("ZOrderExpr generic N-D path and int inputs") {
+    val rows = Seq((3, 5L, 7), (0, 0L, 0), (1048575, 1048575L, 1048575))
+    val got = rows.toDF("a", "b", "c")
+      .select(ZOrderExpr.zorder(col("a"), col("b"), col("c")).as("z"),
+        col("a"), col("b"), col("c"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) ==
+        refZ(Seq(r.getInt(1).toLong, r.getLong(2), r.getInt(3).toLong)))
+    }
+    // monotone locality sanity: (0,0,0) interleaves to 0
+    assert(refZ(Seq(0L, 0L, 0L)) == 0L)
+  }
+
+  test("ZOrderExpr NULL dims yield NULL; SQL surface registered") {
+    spark.sessionState.functionRegistry.registerFunction(
+      ZOrderExpr.identifier, ZOrderExpr.info, ZOrderExpr.builder)
+    val out = Seq((Some(1L), Some(2L)), (None, Some(2L)), (Some(1L), None))
+      .toDF("x", "y")
+      .selectExpr("graft_zorder(x, y) AS z").collect()
+    assert(!out(0).isNullAt(0))
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+  }
+
+  test("Z-order layout prunes non-leading dimensions; linear sort " +
+      "does not") {
+    // 256x256 uniform grid, 64 range partitions: the per-partition
+    // bounding boxes ARE the file-level min/max stats each layout
+    // would write.
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    val parts = 64
+    val zBounds = Layout.partitionBounds(
+      Layout.zorderBy(grid, Seq(col("x"), col("y")), parts),
+      Seq("x", "y")).cache()
+    val linBounds = Layout.partitionBounds(
+      grid.repartitionByRange(parts, col("x"))
+        .sortWithinPartitions(col("x"), col("y")),
+      Seq("x", "y")).cache()
+    assert(zBounds.count() == parts && linBounds.count() == parts)
+    // y-band predicate (non-leading for the linear layout): linear
+    // layout prunes nothing — every partition spans all of y; Z-order
+    // reads at most half the partitions.
+    val yBand = Map("y" -> (0L, 31L))
+    val zTouched = Layout.prunablePartitions(zBounds, yBand)
+    val linTouched = Layout.prunablePartitions(linBounds, yBand)
+    assert(linTouched == parts.toLong,
+      s"linear layout unexpectedly pruned a y-band: $linTouched")
+    assert(zTouched <= parts / 2,
+      s"z-order should bound every partition's y-range: $zTouched")
+    // small 2-D box: Z-order touches few partitions
+    val box = Map("x" -> (64L, 95L), "y" -> (64L, 95L))
+    val zBox = Layout.prunablePartitions(zBounds, box)
+    assert(zBox <= parts / 4, s"2-D box touched $zBox of $parts")
+  }
+
+  test("bloom-pruned join == plain join, and the filter really prunes") {
+    val probe = (1L to 20000L).map(i => (i, i % 97)).toDF("k", "payload")
+    val build = (1L to 20000L by 100).map(i => (i, s"b$i"))
+      .toDF("bk", "tag")
+    val exact = probe.join(build, col("k") === col("bk"))
+      .select("k", "payload", "bk", "tag")
+      .collect().map(_.toSeq).toSet
+    val pruned = BloomPrune.prunedEquiJoin(probe, build,
+        col("k"), col("bk"), expectedItems = 1000L)
+      .select("k", "payload", "bk", "tag")
+      .collect().map(_.toSeq).toSet
+    assert(pruned == exact)
+    // the predicate alone keeps the 200 true keys + ~2% fp of 20k
+    val bf = BloomPrune.buildFilter(build, col("bk"), 1000L)
+    val kept = probe.filter(BloomPrune.mightContain(bf, col("k"))).count()
+    assert(kept >= 200 && kept < 2000,
+      s"bloom kept $kept of 20000 — not pruning")
+  }
+
+  test("bloom prune with empty build side rejects all probe rows") {
+    val probe = (1L to 100L).toDF("k")
+    val build = Seq.empty[Long].toDF("bk")
+    assert(BloomPrune.prunedEquiJoin(probe, build,
+      col("k"), col("bk")).count() == 0)
+  }
+}
