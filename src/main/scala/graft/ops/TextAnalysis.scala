@@ -23,13 +23,24 @@ object TextAnalysis {
     graft.plans.CountInSetExpr.countInSet(ws, l)
 
   /** Stopword-hit language scores + CJK char count, argmax with a fixed
-    * tie order. Adds `predicted_lang`. */
+    * tie order. Adds `predicted_lang`.
+    *
+    * The split is over the RAW text with per-word case folding
+    * (`countInSetLower`) — identical counts to splitting `lower(text)`
+    * (lowercasing never touches whitespace), but the expression is
+    * shared with [[qualityScore]]'s split through codegen CSE when the
+    * two fuse into one projection (the curate shape), halving the
+    * regex-split work per row. */
   def languageId(docs: DataFrame, textCol: String): DataFrame = {
-    val ws = Fns.words(lower(col(textCol)))
-    val s = defaultStopwords.map { case (l, sw) => l -> hits(ws, sw) }
-    val zh = size(regexp_extract_all(col(textCol), lit("[一-鿿]"), lit(0)))
+    val ws = Fns.words(col(textCol))
+    val s = defaultStopwords.map { case (l, sw) =>
+      l -> graft.plans.CountInSetExpr.countInSetLower(ws, sw) }
+    // existence test, not a count: rlike stops at the first CJK char,
+    // where size(regexp_extract_all(...)) materialized an array of
+    // every match per row (measured on the q53 curation profile)
+    val zh = col(textCol).rlike("[一-鿿]")
     docs.withColumn("predicted_lang",
-      when(zh > 0, "zh")
+      when(zh, "zh")
         .when(s("en") >= s("de") && s("en") >= s("es") &&
           s("en") >= s("fr"), "en")
         .when(s("de") >= s("es") && s("de") >= s("fr"), "de")
@@ -42,8 +53,8 @@ object TextAnalysis {
     val ws = Fns.words(col(textCol))
     val nWords = size(ws)
     val nStop = hits(ws, defaultStopwords("en"))
-    val nPunct = size(regexp_extract_all(col(textCol),
-      lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nPunct = regexp_count(col(textCol),
+      lit("[^A-Za-z0-9\\s]"))
     docs
       .withColumn("n_words", nWords)
       .withColumn("stop_ratio", nStop / nWords)
@@ -72,8 +83,8 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
       .withColumn("ws_tokens", size(Fns.words(col(textCol))))
-      .withColumn("bpe_tokens", size(regexp_extract_all(col(textCol),
-        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+      .withColumn("bpe_tokens", regexp_count(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")))
 
   /** Repetition signals — the Gopher-rule family of pretraining quality
     * filters (Rae et al. 2021 §A1.1: documents dominated by repeated

@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * not counted (isin(null) is NULL, which filter drops), NULL input
   * array yields NULL.
   */
-case class CountInSetExpr(child: Expression, set: Seq[String])
+case class CountInSetExpr(child: Expression, set: Seq[String],
+    lowercase: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
@@ -51,7 +52,10 @@ case class CountInSetExpr(child: Expression, set: Seq[String])
     var n = 0
     var i = 0
     while (i < arr.numElements()) {
-      if (!arr.isNullAt(i) && hashed.contains(arr.getUTF8String(i))) n += 1
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        if (hashed.contains(if (lowercase) w.toLowerCase else w)) n += 1
+      }
       i += 1
     }
     n
@@ -64,10 +68,12 @@ case class CountInSetExpr(child: Expression, set: Seq[String])
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val elem = if (lowercase) s"$a.getUTF8String($i).toLowerCase()"
+        else s"$a.getUTF8String($i)"
       s"""
       int $n = 0;
       for (int $i = 0; $i < $a.numElements(); $i++) {
-        if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i)))
+        if (!$a.isNullAt($i) && $setRef.contains($elem))
           $n++;
       }
       ${ev.value} = $n;
@@ -86,6 +92,19 @@ object CountInSetExpr {
       set: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(CountInSetExpr(ColumnBridge.expression(c), set))
+  }
+
+  /** Per-word case-folded variant: counts `lower(w) IN set`. Lets a
+    * caller share ONE whitespace split between case-sensitive and
+    * case-insensitive consumers (lowercasing never creates or removes
+    * whitespace, so `words(lower(t)) == words(t)` lowered per word) —
+    * languageId reuses qualityScore's split via codegen CSE instead of
+    * lowering and re-splitting the whole text (measured on q53). */
+  def countInSetLower(c: org.apache.spark.sql.Column,
+      set: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      CountInSetExpr(ColumnBridge.expression(c), set, lowercase = true))
   }
 
   val identifier: FunctionIdentifier =

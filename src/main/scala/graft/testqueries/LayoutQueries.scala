@@ -6,15 +6,18 @@ import graft.functions.Fns
 import graft.ops.BloomPrune
 import graft.plans.ZOrderExpr
 
-/** Physical-layout operators under the oracle gate: the Z-order curve
-  * key ([[graft.plans.ZOrderExpr]] — the multi-dimensional data-skipping
-  * layout, see [[graft.ops.Layout]]) and explicit bloom-filter join
-  * pruning ([[graft.ops.BloomPrune]] — runtime row-level filtering as a
-  * first-class operator). Both are exactly checkable: the Morton
-  * interleave is pure integer bit arithmetic the DuckDB mirror replays
-  * with the identical magic-number chain, and a bloom-pruned exact join
-  * is bit-identical to the plain join (false positives cleared by the
-  * join itself).
+/** Physical-layout and table-maintenance operators under the oracle
+  * gate: the Z-order curve key ([[graft.plans.ZOrderExpr]] — the
+  * multi-dimensional data-skipping layout, see [[graft.ops.Layout]]),
+  * explicit bloom-filter join pruning ([[graft.ops.BloomPrune]] —
+  * runtime row-level filtering as a first-class operator), and
+  * incremental aggregate maintenance ([[graft.ops.IncrementalAgg]] —
+  * merge-don't-recompute). All exactly checkable: the Morton interleave
+  * is pure integer bit arithmetic the DuckDB mirror replays with the
+  * identical magic-number chain; a bloom-pruned exact join is
+  * bit-identical to the plain join (false positives cleared by the join
+  * itself); a monoid-state merge is bit-identical to the one-shot
+  * aggregation.
   */
 object LayoutQueries {
   import Tables._
@@ -77,5 +80,33 @@ object LayoutQueries {
           AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
-        GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Incremental aggregate maintenance: orders split into two eras at
+    // a date cutoff; the declared query folds the late era's stats into
+    // the early era's via IncrementalAgg.merge (untouched groups pass
+    // through un-shuffled) — the oracle recomputes the whole table in
+    // one shot. Equality IS the merge-vs-recompute contract.
+    QueryDef("q68_incremental_agg",
+      (s, d) => {
+        import graft.ops.IncrementalAgg
+        val o = orders(s, d)
+        val cutoff = lit("1997-01-01").cast("timestamp")
+        val keys = Seq("o_orderstatus", "o_orderpriority")
+        val prev = IncrementalAgg.statsOf(
+          o.filter(col("o_orderdate") < cutoff), keys, "o_totalprice")
+        val delta = IncrementalAgg.statsOf(
+          o.filter(col("o_orderdate") >= cutoff), keys, "o_totalprice")
+        IncrementalAgg.merge(prev, delta, keys)
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            col("n_rows"), col("sum_v").cast("double").as("sum_v"),
+            col("min_v"), col("max_v"))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        count(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
+        min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority""")))
 }

@@ -44,6 +44,18 @@ object QueryDef {
       cols: org.apache.spark.sql.Column*): DataFrame =
     df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
 
+  /** [[sortedP]] for EXPENSIVE corpus-proportional pipelines whose sort
+    * keys only exist at the end: `repartitionByRange`'s RangePartitioner
+    * samples its child first, so a bare sortedP executes the upstream
+    * pipeline TWICE — measured ~2× on q53, whose per-row regex work
+    * dwarfs its (small) output. The eager localCheckpoint materializes
+    * the pipeline ONCE; sampling and the exchange then read the
+    * checkpointed partitions. Use when pipeline cost ≫ output size;
+    * plain [[sortedP]] when the tail input is already cheap to replay. */
+  def sortedPMat(df: DataFrame,
+      cols: org.apache.spark.sql.Column*): DataFrame =
+    sortedP(df.localCheckpoint(true), cols: _*)
+
   /** Filter WITHOUT letting the predicate push below this point. A filter
     * on an expensive projected column (e.g. a 64-term dot product) would
     * otherwise be substituted into the join condition below and the

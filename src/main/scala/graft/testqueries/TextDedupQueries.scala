@@ -97,8 +97,8 @@ object TextDedupQueries {
         // native set-membership count (CountInSetExpr): same value as
         // size(filter(ws, isin)), one codegen'd loop
         val nStop = graft.plans.CountInSetExpr.countInSet(ws, stop)
-        val nPunct = size(regexp_extract_all(col("text"),
-          lit("[^A-Za-z0-9\\s]"), lit(0)))
+        val nPunct = regexp_count(col("text"),
+          lit("[^A-Za-z0-9\\s]"))
         val nonSpace = length(regexp_replace(col("text"), "\\s+", ""))
         // per-document output scales with the corpus: range-partition the
         // raw docs on the sort key (the per-row projection preserves it)
@@ -147,8 +147,8 @@ object TextDedupQueries {
         val sDe = hits(Seq("der", "die", "das", "und", "ist"))
         val sEs = hits(Seq("el", "la", "de", "y", "es"))
         val sFr = hits(Seq("le", "la", "les", "et", "est"))
-        val sZh = size(regexp_extract_all(col("text"),
-          lit("[一-鿿]"), lit(0)))
+        val sZh = regexp_count(col("text"),
+          lit("[一-鿿]"))
         // per-document output: range-partition raw docs (see q17)
         documents(s, d).repartitionByRange(col("doc_id"))
           .select(col("doc_id"), col("lang").as("actual_lang"),
@@ -186,8 +186,8 @@ object TextDedupQueries {
       (s, d) => documents(s, d).select(
         col("doc_id"),
         size(Fns.words(col("text"))).as("ws_tokens"),
-        size(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"),
+        regexp_count(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_tokens"),
         length(col("text")).as("n_chars"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
@@ -334,13 +334,15 @@ object TextDedupQueries {
     QueryDef("q53_curation",
       // kept-corpus output scales with the input: parallel range sort in
       // tail position (curate's dedup stage shuffles by content digest,
-      // so no source partitioning survives to reuse)
+      // so no source partitioning survives to reuse); materialized once
+      // (sortedPMat) so the range sampler doesn't replay the
+      // regex-heavy scoring scan — measured 1.6s -> ~0.9s
       (s, d) => graft.ops.TextAnalysis
         .curate(documents(s, d), "doc_id", "text",
           minWords = 10, minQuality = 0.3)
         .select(col("doc_id"), col("predicted_lang"), col("n_words"),
           col("quality_score"))
-        .transform(QueryDef.sortedP(_, col("doc_id"))),
+        .transform(QueryDef.sortedPMat(_, col("doc_id"))),
       Some {
         // mirrors TextAnalysis exactly: 5-word stopword lists, unlowered
         // words for quality, lowered for language ID, argmax tie order

@@ -113,4 +113,30 @@ class LayoutSpec extends SparkSpec {
     assert(BloomPrune.prunedEquiJoin(probe, build,
       col("k"), col("bk")).count() == 0)
   }
+
+  test("IncrementalAgg: chained era merges == one-shot stats, " +
+      "delta-only and prev-only groups included") {
+    import graft.ops.IncrementalAgg
+    val rnd = new scala.util.Random(17)
+    // group g9 exists only in era 0 (prev-only passthrough), g0 only
+    // in era 2 (delta-only group creation)
+    val rows = (0 until 600).map { i =>
+      val era = i % 3
+      val g = if (era == 0) s"g${1 + rnd.nextInt(9)}"
+        else if (era == 2) s"g${rnd.nextInt(9)}"
+        else s"g${1 + rnd.nextInt(8)}"
+      (era, g, rnd.nextInt(100000) / 100.0)
+    }
+    val df = rows.toDF("era", "g", "v")
+    val keys = Seq("g")
+    def stats(era: Int) = IncrementalAgg.statsOf(
+      df.filter(col("era") === era), keys, "v")
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.merge(stats(0), stats(1), keys), stats(2), keys)
+    val full = IncrementalAgg.statsOf(df, keys, "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(canon(merged) == canon(full))
+  }
 }
