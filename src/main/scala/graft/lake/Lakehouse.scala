@@ -179,6 +179,45 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
       .partitionBy(Schemas.partitionCols: _*)
       .parquet(dir(table))
 
+  /** Z-order compaction — [[compactWhere]] with a multi-dimensional
+    * rewrite order: within each touched table partition, rows are laid
+    * out along the Morton curve over `dims`
+    * ([[graft.plans.ZOrderExpr]]), so parquet row-group min/max stats
+    * stay compact in EVERY interleaved dimension and scans predicated
+    * on any of them skip row groups (the `OPTIMIZE ZORDER BY`
+    * maintenance action; skipping quantified in LayoutSpec). The
+    * partition-dir layout and the data are unchanged — only the order
+    * inside each partition's files differs. */
+  def compactZOrder(table: String, schema: StructType, dims: Seq[String],
+      partitionPredicate: org.apache.spark.sql.Column = lit(true)): Unit = {
+    val base = align(loadEvolved(table).filter(partitionPredicate), schema)
+    // Order-PRESERVING 20-bit encoding per numeric dimension (hashing
+    // would scramble the value space and void min/max skipping): scale
+    // by the observed [min, max] — one small agg job, the same
+    // range-id preparation Delta's OPTIMIZE ZORDER runs.
+    val bounds = base.select(dims.flatMap(d =>
+      Seq(min(col(d).cast("double")).as(s"${d}_lo"),
+        max(col(d).cast("double")).as(s"${d}_hi"))): _*).head()
+    if (bounds.isNullAt(0)) return // empty selection: nothing to rewrite
+    val enc = dims.zipWithIndex.map { case (d, i) =>
+      val lo = bounds.getDouble(2 * i)
+      val span = math.max(bounds.getDouble(2 * i + 1) - lo, 1e-12)
+      ((col(d).cast("double") - lo) / span * ((1 << 20) - 1)).cast("long")
+    }
+    base
+      .withColumn("__zorder", graft.plans.ZOrderExpr.zorder(enc: _*))
+      .repartition(Schemas.partitionCols.map(col): _*)
+      .sortWithinPartitions(
+        (Schemas.partitionCols.map(col) :+ col("__zorder")): _*)
+      .drop("__zorder")
+      // see upsert: break the read-path/overwrite-path cycle
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(Schemas.partitionCols: _*)
+      .parquet(dir(table))
+  }
+
   /** Small-file compaction (SURVEY §7 "small-file / tiny-partition
     * layout" hazard: many appends × many problems → file explosion):
     * rewrites each partition's files into one, preserving layout and

@@ -111,6 +111,37 @@ object EventsStreaming {
       }
       .start()
 
+  /** Streaming incremental stats maintenance: each micro-batch's
+    * per-group state folds into a persisted stats table via
+    * [[graft.ops.IncrementalAgg.merge]] — the stats table is exactly
+    * `IncrementalAgg.statsOf(all rows so far)` after every batch
+    * (StreamingSpec), with per-batch cost ∝ the batch + its touched
+    * groups, never the history. The 100 TB shape: a continuously
+    * maintained rollup whose maintenance work tracks the APPEND rate.
+    * `statsDir` is overwrite-swapped per batch (the checkpoint is the
+    * recovery log; the read is atomic because parquet readers list the
+    * directory at plan time). */
+  def streamIncrementalStats(spark: SparkSession, srcDir: String,
+      srcSchema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String], valueCol: String, statsDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(srcSchema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = graft.ops.IncrementalAgg.statsOf(batch, keys, valueCol)
+        val merged =
+          if (new java.io.File(statsDir).exists())
+            graft.ops.IncrementalAgg.merge(
+              batch.sparkSession.read.parquet(statsDir), delta, keys)
+          else delta
+        // materialize before overwriting the path the plan reads
+        merged.localCheckpoint(true)
+          .write.mode("overwrite").parquet(statsDir)
+      }
+      .start()
+
   /** Watermarked stream-stream interval join: pairs each left event with
     * right events of the same key within [left.ts, left.ts + window].
     * Both sides carry watermarks so the join state is bounded — the

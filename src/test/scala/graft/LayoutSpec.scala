@@ -114,6 +114,49 @@ class LayoutSpec extends SparkSpec {
       col("k"), col("bk")).count() == 0)
   }
 
+  test("Lakehouse.compactZOrder: data identical, rows z-ordered " +
+      "within each rewritten file") {
+    import graft.lake.Lakehouse
+    import graft.schema.{Observation, Schemas}
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rnd = new scala.util.Random(13)
+    val rows = rnd.shuffle((0 until 64).flatMap(s => (0 until 16).map(k =>
+      Observation("ds", s"p${k % 2}", s"i$k", "t1", "", "", "r1", "e1", s,
+        Some("op"), None, Some("o"), Some((s * 37 % 64).toDouble), None,
+        None, Some(ts), None, None, None, Some(false)))))
+    val wh = tmpDir("zorder-wh")
+    val lake = new Lakehouse(spark, wh)
+    lake.append("observations", rows.toDF(), Schemas.observations)
+    val before = lake.observations.drop("created_at")
+      .collect().map(_.toSeq).toSet
+    lake.compactZOrder("observations", Schemas.observations,
+      Seq("step_id", "execution_time_ms"))
+    val after = lake.observations.drop("created_at")
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+    // each rewritten file's row order follows the curve: recompute the
+    // encoded z per row and assert nondecreasing within the file
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        s"$wh/observations")).iterator()
+    val parquets = Iterator.continually(files)
+      .takeWhile(_.hasNext).map(_.next()).map(_.toString)
+      .filter(p => p.endsWith(".parquet") &&
+        !new java.io.File(p).getName.startsWith("_"))
+      .toList
+    assert(parquets.nonEmpty)
+    // step_id and execution_time_ms both span [0, 63] by construction
+    parquets.foreach { p =>
+      val zs = spark.read.parquet(p)
+        .select(ZOrderExpr.zorder(
+          (col("step_id").cast("double") / 63.0 * ((1 << 20) - 1))
+            .cast("long"),
+          (col("execution_time_ms") / 63.0 * ((1 << 20) - 1))
+            .cast("long")).as("z"))
+        .collect().map(_.getLong(0))
+      assert(zs.sameElements(zs.sorted), s"file $p not curve-ordered")
+    }
+  }
+
   test("IncrementalAgg: chained era merges == one-shot stats, " +
       "delta-only and prev-only groups included") {
     import graft.ops.IncrementalAgg

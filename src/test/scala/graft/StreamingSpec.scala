@@ -64,6 +64,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() >= n1)
   }
 
+  test("streaming incremental stats: maintained table == one-shot " +
+      "stats after every wave (checkpointed restart)") {
+    import graft.ops.IncrementalAgg
+    val srcDir = tmpDir("incr-src")
+    val statsDir = tmpDir("incr-stats") + "/stats"
+    val ckDir = tmpDir("incr-ck")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("event_type"), col("n_rows"),
+        col("sum_v").cast("double"), col("min_v"), col("max_v"))
+        .collect().map(_.toSeq).toSet
+    // wave 1
+    eventsDf.filter(col("event_id") <= 2).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    EventsStreaming.streamIncrementalStats(spark, srcDir, schema,
+      Seq("event_type"), "value", statsDir, ckDir).awaitTermination(60000)
+    assert(canon(spark.read.parquet(statsDir)) ==
+      canon(IncrementalAgg.statsOf(
+        eventsDf.filter(col("event_id") <= 2), Seq("event_type"), "value")))
+    // wave 2: resume from checkpoint; only the new files are processed,
+    // yet the stats table equals the full recompute
+    eventsDf.filter(col("event_id") > 2).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    EventsStreaming.streamIncrementalStats(spark, srcDir, schema,
+      Seq("event_type"), "value", statsDir, ckDir).awaitTermination(60000)
+    assert(canon(spark.read.parquet(statsDir)) ==
+      canon(IncrementalAgg.statsOf(eventsDf, Seq("event_type"), "value")))
+  }
+
   test("stateful sessionization (flatMapGroupsWithState), all sessions") {
     val out = EventsStreaming.sessionize(spark, eventsDf).collect()
       .sortBy(_.session_start.getTime)
