@@ -199,15 +199,29 @@ object Dedup {
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // each node's new label: min over (own label, neighbors' labels)
-      val next = edges
+      val stepped = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_label"))
         .join(labels, Seq("id"))
         .select(col("id"),
-          least(col("label"), col("nbr_label")).as("label"),
-          (col("nbr_label") < col("label")).as("__changed"))
+          least(col("label"), col("nbr_label")).as("label"))
+      // pointer halving (path compression): also adopt the label OF the
+      // current label — labels are node ids, so one self-join jumps a
+      // hop. Neighbor-min alone needs O(component diameter) rounds; the
+      // compressed walk converges in O(log diameter), which is what
+      // bounds maxIter for the adversarial deep-chain corpus at scale.
+      val ptr = stepped.select(col("id").as("jid"),
+        col("label").as("jlabel"))
+      val next = stepped
+        .join(ptr, col("label") === col("jid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jlabel"), col("label")))
+            .as("label"))
+        .join(labels.withColumnRenamed("label", "old_label"), Seq("id"))
+        .select(col("id"), col("label"),
+          (col("label") < col("old_label")).as("__changed"))
         .localCheckpoint(true)
       changed = next.filter(col("__changed")).count()
       labels = next.drop("__changed")

@@ -178,6 +178,16 @@ class OpsSpec extends SparkSpec {
     assert(ok.values.toSet == Set(1L))
   }
 
+  test("near-dup groups: 100-hop chain converges inside the default " +
+      "budget (pointer halving)") {
+    // plain min-label propagation needs O(diameter) = 100 rounds here,
+    // far past maxIter = 20; the compressed walk needs O(log 100)
+    val chain = (1L until 101L).map(i => (i + 1, i)).toDF("a_id", "b_id")
+    val groups = Dedup.nearDupGroups(chain, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == 101 && groups.values.toSet == Set(1L))
+  }
+
   test("near-dup groups: empty pair set is a no-op") {
     val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.nearDupGroups(noPairs, "a_id", "b_id").count() == 0)
