@@ -46,6 +46,27 @@ class LayoutSpec extends SparkSpec {
     assert(refZ(Seq(0L, 0L, 0L)) == 0L)
   }
 
+  test("ZOrderExpr compiles under CODEGEN_ONLY on both nullable paths") {
+    // CODEGEN_ONLY turns silent interpreted fallback into a hard error,
+    // so a codegen template bug (e.g. assigning to a FalseLiteral
+    // isNull on non-nullable children) fails HERE, not as a perf cliff
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // primitive tuple columns are non-nullable -> FalseLiteral branch
+      val nn = Seq((3L, 5L), (7L, 1L)).toDF("x", "y")
+        .select(ZOrderExpr.zorder(col("x"), col("y")).as("z"))
+        .collect().map(_.getLong(0))
+      assert(nn.sameElements(Array(refZ(Seq(3L, 5L)), refZ(Seq(7L, 1L)))))
+      // Option columns are nullable -> isNull bookkeeping branch
+      val n = Seq((Option(3L), Option(5L)), (None: Option[Long], Option(1L)))
+        .toDF("x", "y")
+        .select(ZOrderExpr.zorder(col("x"), col("y")).as("z")).collect()
+      assert(n(0).getLong(0) == refZ(Seq(3L, 5L)) && n(1).isNullAt(0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("ZOrderExpr NULL dims yield NULL; SQL surface registered") {
     spark.sessionState.functionRegistry.registerFunction(
       ZOrderExpr.identifier, ZOrderExpr.info, ZOrderExpr.builder)
