@@ -105,6 +105,45 @@ object TextAnalysis {
       .withColumn("dup_word_frac", dupFrac(Fns.words(col(textCol))))
   }
 
+  /** Markup stripping — the boilerplate-removal pass that turns crawled
+    * HTML into trainable text: script/style blocks dropped whole, tags
+    * removed, the five predefined HTML entities decoded, whitespace
+    * collapsed. Lookaround- and backreference-free patterns (portable
+    * to RE2, so the DuckDB oracle replays them verbatim — q69); order
+    * matters and is part of the contract (blocks before tags, entities
+    * after tags so `&lt;p&gt;` does not become a strippable tag). */
+  def stripMarkup(docs: DataFrame, textCol: String,
+      outCol: String = "stripped"): DataFrame = {
+    val noBlocks = regexp_replace(col(textCol),
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    docs.withColumn(outCol,
+      trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
+  /** Benchmark-contamination detection: corpus documents that share at
+    * least one word-`n`-gram with any benchmark document — the
+    * train/test overlap scan every pretraining pipeline runs before
+    * shipping a corpus. Returns `(idCol, n_shared)` with the DISTINCT
+    * shared-shingle count per contaminated document. Scale shape: both
+    * sides explode to (id, shingle) sets and meet in ONE equi-join on
+    * the shingle (the benchmark side is tiny — broadcast); no pairwise
+    * doc×doc work anywhere. */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol),
+      explode(Fns.shingles(Fns.words(col(textCol)), n)).as("s"))
+      .distinct()
+    sh(corpus)
+      .join(broadcast(sh(bench).select(col("s")).distinct()), Seq("s"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("s")).as("n_shared"))
+  }
+
   /** PII redaction: emails, IPv4 addresses and international phone
     * numbers replaced with typed placeholder tags — the masking pass a
     * training pipeline runs before tokenization. Conservative

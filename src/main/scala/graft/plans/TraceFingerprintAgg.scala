@@ -22,12 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * ObjectHashAggregate pair with an `array_sort(collect_list(...))` +
   * interpreted `to_json` per group. This aggregate collapses them into a
   * single operator with the OrderedStringAggregator discipline: the
-  * buffer is an append-only row list, sorted ONCE at eval, then digested
-  * segment-by-segment — per (test, run) an MD5 over the step-ordered
-  * outputs, then one MD5 over the (test, run, segment-digest) stream.
-  * All fields are length-prefixed (nulls get a flag bit), so the
-  * encoding is injective: equal fingerprints ⇔ equal behavior traces.
-  * 128-bit digests keep accidental cluster collisions negligible.
+  * buffer is an append-only row list, sorted ONCE at eval (UTF-8 binary
+  * string order, null-first — the array_sort(struct) order the composed
+  * chain uses), then digested segment-by-segment — per (test, run) an
+  * MD5 over the step-ORDERED OUTPUTS (step ids order the trace but do
+  * not identify it: the reference's signature is the output list, so
+  * renumbered steps with identical outputs are the same behavior), then
+  * one MD5 over the (test, run)-ORDERED segment-digest stream — the
+  * segment NAMES order it but are not digested, mirroring the
+  * reference's `array_agg(signature ORDER BY test_id)` (values only).
+  * Outputs are length-prefixed with a null flag, so the encoding is
+  * injective over ordered output lists; 128-bit digests keep accidental
+  * cluster collisions negligible.
   *
   * The hex fingerprint differs from the composed `md5(to_json(...))`
   * chain's bit pattern (different but equivalent injective encodings);
@@ -149,11 +155,16 @@ object TraceFingerprintAgg {
       stepNull: Boolean, output: String)
 
   private val rowOrdering: Ordering[Row] = new Ordering[Row] {
+    // UTF-8 BINARY order, like Spark's struct sort inside array_sort —
+    // Java String.compareTo (UTF-16 code units) disagrees for
+    // supplementary-plane vs U+E000-FFFF, which would let two impls
+    // with different traces digest to cross-form-inconsistent orders
+    // (found by the NativeAggCheckSpec generator)
     private def cmpStr(a: String, b: String): Int =
       if (a == null && b == null) 0
       else if (a == null) -1
       else if (b == null) 1
-      else a.compareTo(b)
+      else UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
     override def compare(x: Row, y: Row): Int = {
       var c = cmpStr(x.test, y.test); if (c != 0) return c
       c = cmpStr(x.run, y.run); if (c != 0) return c
@@ -177,17 +188,22 @@ object TraceFingerprintAgg {
       val segRun = rows(i).run
       val inner = MessageDigest.getInstance("MD5")
       while (i < n && rows(i).test == segTest && rows(i).run == segRun) {
-        val r = rows(i)
-        if (r.stepNull) inner.update(0.toByte)
-        else {
-          inner.update(1.toByte)
-          inner.update(intBytes(r.step))
-        }
-        updateStr(inner, r.output)
+        // digest the step-ORDERED outputs only: step ids ORDER the
+        // trace but do not identify it (reference
+        // benchmark_behavioral_clustering.py signature = the output
+        // list ordered by step) — two traces with identical ordered
+        // outputs at different step numberings are the same behavior,
+        // exactly as the composed md5(to_json(orderedCollect)) chain
+        // computes it (divergence found by NativeAggCheckSpec)
+        updateStr(inner, rows(i).output)
         i += 1
       }
-      updateStr(outer, segTest)
-      updateStr(outer, segRun)
+      // segment digests enter the fingerprint in (test, run) order but
+      // the NAMES do not — the reference's stage 2 is
+      // array_agg(signature ORDER BY test_id): values only
+      // (benchmark_behavioral_clustering.py:72-77), so an impl whose
+      // identical trace lives under a different test id clusters WITH
+      // it, exactly as the composed chain computes (generator-found)
       outer.update(inner.digest())
     }
     outer.digest().map("%02x".format(_)).mkString

@@ -515,6 +515,79 @@ object TextDedupQueries {
         CASE WHEN COALESCE(l.group_id, d.doc_id) = d.doc_id THEN 1
           ELSE 0 END AS kept
       FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Markup stripping (TextAnalysis.stripMarkup): documents wrapped in
+    // deterministic HTML chrome (tags, a script block whose body must
+    // vanish whole, entities incl. the double-encoding case), stripped,
+    // and fingerprinted. The oracle replays the identical RE2-portable
+    // regex chain. Per-document output: range-partition the source.
+    QueryDef("q69_html_strip",
+      (s, d) => {
+        val chrome = "</p><script type=\"text/javascript\">var x = " +
+          "\"<b>\";</script><style>p { color: red }</style> " +
+          "&amp;amp; &lt;tag&gt;</BODY></html>"
+        val wrapped = documents(s, d)
+          .repartitionByRange(col("doc_id"))
+          .withColumn("text",
+            concat(lit("<html><BODY class=\"x\"><p>"), col("text"),
+              lit(chrome)))
+        graft.ops.TextAnalysis.stripMarkup(wrapped, "text")
+          .select(col("doc_id"), md5(col("stripped")).as("stripped_md5"),
+            length(col("stripped")).as("stripped_len"))
+          .sortWithinPartitions("doc_id")
+      },
+      Some("""WITH w AS (
+        SELECT doc_id, '<html><BODY class="x"><p>' || text ||
+          '</p><script type="text/javascript">var x = "<b>";</script>' ||
+          '<style>p { color: red }</style> &amp;amp; &lt;tag&gt;' ||
+          '</BODY></html>' AS t
+        FROM documents),
+      s1 AS (SELECT doc_id, regexp_replace(t,
+        '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', ' ', 'g')
+        AS t FROM w),
+      s2 AS (SELECT doc_id,
+        regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+          '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+          '&amp;', '&', 'g') AS t FROM s2),
+      f AS (SELECT doc_id,
+        trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s3)
+      SELECT doc_id, md5(t) AS stripped_md5, length(t) AS stripped_len
+      FROM f ORDER BY doc_id""")),
+
+    // Benchmark-contamination scan (TextAnalysis.contamination): corpus
+    // docs sharing >=1 word-4-gram with the held-out benchmark subset
+    // (doc_id % 50 == 0), with distinct shared-shingle counts — ONE
+    // broadcast equi-join on the shingle, no doc-pair enumeration.
+    QueryDef("q70_contamination",
+      (s, d) => {
+        val docs = documents(s, d)
+        QueryDef.sortedP(
+          graft.ops.TextAnalysis.contamination(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", n = 4),
+          col("doc_id"))
+      },
+      Some("""WITH c AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents WHERE doc_id % 50 <> 0 AND length(trim(text)) > 0),
+      b AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents WHERE doc_id % 50 = 0 AND length(trim(text)) > 0),
+      shc AS (SELECT DISTINCT doc_id,
+          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+            AS s
+        FROM c, UNNEST(range(1, len(ws) - 2)) t(i)),
+      shb AS (SELECT DISTINCT
+          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+            AS s
+        FROM b, UNNEST(range(1, len(ws) - 2)) t(i))
+      SELECT shc.doc_id, count(DISTINCT s) AS n_shared
+      FROM shc JOIN shb USING (s)
+      GROUP BY shc.doc_id ORDER BY shc.doc_id"""))
   )
 }

@@ -48,10 +48,16 @@ class NativeAggCheckSpec extends SparkSpec {
   private def shape(df: DataFrame, s: Shaped[_]): DataFrame =
     df.orderBy(rand(s.seed)).repartition(s.k)
 
+  /** GRAFT_CHECK_TRIALS multiplies the per-property trial count for
+    * deep local sweeps (e.g. =20 → 240 trials); CI default keeps the
+    * suite fast. Failures print the full scalacheck status (args +
+    * shrink result) before the assert. */
   private def check(prop: Prop, trials: Int = 12): Unit = {
+    val mult = sys.env.getOrElse("GRAFT_CHECK_TRIALS", "1").toInt
     val res = SCTest.check(
       SCTest.Parameters.default
-        .withMinSuccessfulTests(trials).withWorkers(1), prop)
+        .withMinSuccessfulTests(trials * mult).withWorkers(1), prop)
+    if (!res.passed) println(s"SCALACHECK-FAILURE: ${res.status}")
     assert(res.passed, res.status.toString)
   }
 

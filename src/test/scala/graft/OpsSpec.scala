@@ -294,6 +294,42 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq("en", "de"))
   }
 
+  test("markup stripping: blocks vanish whole, entities decode once, " +
+      "encoded tags survive as text") {
+    val docs = Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "a<script>var x = \"<b>danger</b>\";</script>b"),
+      (3L, "<STYLE media=\"all\">p{}</STYLE>keep"),
+      (4L, "&lt;notatag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;"),
+      (5L, "a   b\n\nc\t d"),
+      (6L, "x < y and z > w")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripMarkup(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "Hello world")
+    assert(out(2L) == "a b") // script body incl. inner tags dropped whole
+    assert(out(3L) == "keep") // case-insensitive, attributes allowed
+    assert(out(4L) == "<notatag> &amp; \"q\" 's'") // decoded AFTER tag
+    // pass; double-encoded &amp;amp; decodes exactly once
+    assert(out(5L) == "a b c d") // whitespace collapsed
+    assert(out(6L) == "x w") // bare <...> spans strip like tags — the
+    // documented cost of regex-level stripping (same in the oracle)
+  }
+
+  test("contamination: shared n-grams found, benchmark-only and clean " +
+      "docs absent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 4-gram with b1
+      (2L, "one two three four five"), // clean
+      (3L, "alpha beta gamma delta zeta")) // shares the same 4-gram
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta omega")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, bench, "doc_id", "text",
+        n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("quality + token counts + fingerprint are deterministic") {
     val out = TextAnalysis.fingerprint(
       TextAnalysis.tokenCounts(
