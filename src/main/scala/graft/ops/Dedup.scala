@@ -35,11 +35,13 @@ object Dedup {
       .drop("__rn", "__digest")
   }
 
-  /** Distinct word-n-gram shingles: (id, s). Built from arrays_zip of
-    * shifted slices + explode — no lambda higher-order functions, which
-    * are evaluated interpreted and dominated the profile; this shape
-    * stays in whole-stage codegen. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String,
+  /** Word-n-gram shingle stream (id, s), duplicates included. Built
+    * from arrays_zip of shifted slices + explode — no lambda
+    * higher-order functions, which are evaluated interpreted and
+    * dominated the profile (a `transform`-based form measured 3.5s vs
+    * 0.4s on the q70 corpus); this shape stays in whole-stage codegen.
+    * Use when the consumer dedups anyway (countDistinct, min-hash). */
+  def shinglesRaw(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val shifted = Seq(col("id"), col("w0")) ++ (1 until n).map(k =>
       slice(col("w0"), lit(k + 1), size(col("w0")) - k).as(s"w$k"))
@@ -52,8 +54,12 @@ object Dedup {
       .filter(col(s"z.w${n - 1}").isNotNull)
       .select(col("id"),
         concat_ws(" ", (0 until n).map(k => col(s"z.w$k")): _*).as("s"))
-      .distinct()
   }
+
+  /** Distinct word-n-gram shingles: (id, s). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shinglesRaw(docs, idCol, textCol, n).distinct()
 
   /** MinHash signatures (id, sig: array<string> of `numHashes` member
     * minima) over word-n-gram shingles. One aggregation pass — the hash

@@ -135,12 +135,17 @@ object TextAnalysis {
     * doc×doc work anywhere. */
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
-    def sh(df: DataFrame) = df.select(col(idCol),
-      explode(Fns.shingles(Fns.words(col(textCol)), n)).as("s"))
-      .distinct()
-    sh(corpus)
-      .join(broadcast(sh(bench).select(col("s")).distinct()), Seq("s"))
-      .groupBy(idCol)
+    // codegen'd shingle stream (Dedup.shinglesRaw — the transform-HOF
+    // form measured 3.5s vs 0.4s here), broadcast-filtered FIRST: the
+    // corpus side meets the (tiny, distinct) benchmark set in the scan
+    // stage, so only hits reach any exchange; countDistinct in the
+    // final (tiny) aggregation dedups per doc.
+    Dedup.shinglesRaw(corpus, idCol, textCol, n)
+      .join(broadcast(
+        Dedup.shingles(bench, idCol, textCol, n)
+          .select(col("s")).distinct()),
+        Seq("s"))
+      .groupBy(col("id").as(idCol))
       .agg(countDistinct(col("s")).as("n_shared"))
   }
 

@@ -19,13 +19,6 @@ object TextDedupQueries {
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopSqlList = stop.map(s => s"'$s'").mkString(", ")
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
-  private def shingleSet(s: org.apache.spark.sql.SparkSession, d: String) =
-    documents(s, d)
-      .select(col("doc_id"),
-        explode(Fns.shingles(Fns.words(col("text")), 3)).as("s"))
-      .distinct()
-
   private val shingleSql =
     """sh AS (
       SELECT DISTINCT doc_id,
