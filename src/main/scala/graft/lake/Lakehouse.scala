@@ -179,6 +179,49 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
       .partitionBy(Schemas.partitionCols: _*)
       .parquet(dir(table))
 
+  /** Row-level delete: rewrite ONLY the partitions containing matching
+    * rows (touched set via broadcast semi-join, like [[upsert]]),
+    * keeping the survivors. Dynamic partition overwrite alone cannot
+    * express a FULLY-deleted partition — a partition whose every row
+    * matches produces zero output rows, so the overwrite never rewrites
+    * its directory and stale files would survive; those directories are
+    * removed explicitly through the warehouse `FileSystem` afterwards.
+    * Cost ∝ touched partitions, the upsert discipline. */
+  def deleteWhere(table: String, schema: StructType,
+      predicate: org.apache.spark.sql.Column): Unit = {
+    val cur = loadEvolved(table)
+    val touched = cur.filter(predicate)
+      .select(Schemas.partitionCols.map(col): _*).distinct()
+      .collect() // bounded: the partitions of one delete's scope
+    if (touched.isEmpty) return
+    val touchedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(touched.toSeq),
+      StructType(Schemas.partitionCols.map(c =>
+        cur.schema(c)).toArray))
+    val survivors = align(
+      cur.join(broadcast(touchedDf), Schemas.partitionCols, "left_semi")
+        // SQL DELETE semantics: only predicate-TRUE rows go; a NULL
+        // predicate keeps the row (bare !predicate would drop it)
+        .filter(!coalesce(predicate, lit(false))), schema)
+      .repartition(Schemas.partitionCols.map(col): _*)
+      .localCheckpoint(true)
+    val stillThere = survivors
+      .select(Schemas.partitionCols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSet
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(Schemas.partitionCols: _*)
+      .parquet(dir(table))
+    // drop directories of fully-deleted partitions
+    val root = new org.apache.hadoop.fs.Path(dir(table))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(r => stillThere.contains(r.toSeq)).foreach { r =>
+      val rel = Schemas.partitionCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+      fs.delete(new org.apache.hadoop.fs.Path(root, rel), true)
+    }
+  }
+
   /** Z-order compaction — [[compactWhere]] with a multi-dimensional
     * rewrite order: within each touched table partition, rows are laid
     * out along the Morton curve over `dims`

@@ -362,6 +362,56 @@ object VectorEventQueries {
         array_to_string(list_transform(range(0, 16),
           b -> CAST(len(list_filter(bins, x -> x = b)) AS VARCHAR)), ',')
           AS hist
-      FROM allrows ORDER BY media_id"""))
+      FROM allrows ORDER BY media_id""")),
+
+    // Gap-filled hourly resample: the time-series densification every
+    // monitoring/feature pipeline needs — a (event_type × hour) grid
+    // over the observed range (sequence + explode from a 1-row bounds
+    // frame, no driver scalar), LEFT JOIN of the real buckets, zero
+    // counts for gaps, and a carry-forward of the last non-null total
+    // (last(ignoreNulls) window — frame-identical to DuckDB's
+    // last_value IGNORE NULLS). No shuffle touches the raw events
+    // beyond the bucket aggregation itself.
+    QueryDef("q71_gapfill_resample",
+      (s, d) => {
+        val ev = events(s, d).select(
+          date_trunc("hour", col("ts")).as("bucket"),
+          col("event_type"), col("value"))
+        val agg = ev.groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"), Fns.sumDec(col("value")).as("total"))
+        val hours = agg.agg(min(col("bucket")).as("lo"),
+            max(col("bucket")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 hour"))).as("bucket"))
+        val grid = agg.select("event_type").distinct().crossJoin(hours)
+        grid.join(agg, Seq("event_type", "bucket"), "left")
+          .select(col("event_type"), col("bucket"),
+            coalesce(col("n"), lit(0L)).as("n"), col("total"),
+            last(col("total"), ignoreNulls = true)
+              .over(Window.partitionBy("event_type").orderBy("bucket"))
+              .as("carry_total"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH ev AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+          event_type, value FROM events),
+      agg AS (
+        SELECT event_type, b, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM ev GROUP BY 1, 2),
+      bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM agg),
+      hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+        FROM bounds),
+      grid AS (
+        SELECT t.event_type, h.b
+        FROM (SELECT DISTINCT event_type FROM agg) t, hours h)
+      SELECT g.event_type, g.b AS bucket,
+        COALESCE(a.n, 0) AS n, a.total,
+        last_value(a.total IGNORE NULLS)
+          OVER (PARTITION BY g.event_type ORDER BY g.b) AS carry_total
+      FROM grid g LEFT JOIN agg a
+        ON a.event_type = g.event_type AND a.b = g.b
+      ORDER BY g.event_type, bucket"""))
   )
 }

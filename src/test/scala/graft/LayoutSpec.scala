@@ -178,6 +178,41 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("Lakehouse.deleteWhere: partial + full-partition deletes, " +
+      "NULL predicate keeps rows, untouched partitions unharmed") {
+    import graft.lake.Lakehouse
+    import graft.schema.{Observation, Schemas}
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def o(p: String, impl: String, step: Int, out: Option[String]) =
+      Observation("ds", p, impl, "t1", "", "", "r1", "e1", step,
+        Some("op"), None, out, Some(1.0), None, None, Some(ts), None,
+        None, None, Some(false))
+    val rows = Seq(
+      o("p0", "a", 0, Some("x")), o("p0", "b", 1, Some("y")),
+      o("p1", "c", 0, Some("x")), o("p1", "d", 1, None),
+      o("p2", "e", 0, Some("x")))
+    val wh = tmpDir("del-wh")
+    val lake = new Lakehouse(spark, wh)
+    lake.append("observations", rows.toDF(), Schemas.observations)
+    // delete all of p2 (full partition), impl a in p0 (partial);
+    // p1's NULL-output row matches a NULL predicate -> must survive
+    lake.deleteWhere("observations", Schemas.observations,
+      col("problem_id") === "p2" ||
+        (col("problem_id") === "p0" && col("implementation_id") === "a") ||
+        (col("problem_id") === "p1" && col("output") === "never"))
+    val back = lake.observations
+      .select("problem_id", "implementation_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("p0", "b"), ("p1", "c"), ("p1", "d")))
+    // the fully-deleted partition's directory is gone
+    assert(!new java.io.File(
+      s"$wh/observations/data_set_id=ds/problem_id=p2").exists())
+    // no-op delete leaves everything alone
+    lake.deleteWhere("observations", Schemas.observations,
+      col("implementation_id") === "zzz")
+    assert(lake.observations.count() == 3)
+  }
+
   test("IncrementalAgg: chained era merges == one-shot stats, " +
       "delta-only and prev-only groups included") {
     import graft.ops.IncrementalAgg

@@ -90,7 +90,10 @@ class PlanShapeSpec extends SparkSpec {
       "q44_cube" -> "grouping-set cells",
       "q50_consensus_verdicts" -> "implementations ≪ observations",
       "q56_tfidf" -> ("broadcast 1-row corpus-size aggregate (the " +
-        "output sort itself is a parallel range sort)"))
+        "output sort itself is a parallel range sort)"),
+      "q71_gapfill_resample" -> ("1-row global min/max bounds aggregate " +
+        "feeding the hour grid (the output sort is a parallel range " +
+        "sort)"))
     // q58 excluded: building its frame executes the full
     // write→stream→append loop (side effects, ~seconds); its final
     // query is perProblemStats, which ends in a parallel orderBy.
