@@ -32,13 +32,17 @@ final case class MediaFeatures(
   * rate / channels / frame count + amplitude histogram), and
   * [[ImageHeaderDecoder]] parses PNG IHDR / JPEG SOF / GIF
   * logical-screen headers when only dimensions are needed (no pixel
-  * pass). [[JdkDecoder]] combines them. VIDEO is the one remaining
-  * stub ([[FakeDecoder]] deterministic metadata — the JDK has no video
-  * codec; swap in a codec-backed [[Decoder]] in production). The
-  * Spark-side plumbing — schema, binary column handling,
-  * partition-batched decode via `mapPartitions` (the JVM analog of
-  * `mapInPandas`: one decoder instantiation per partition, streaming
-  * over rows), partitioning — is real and tested.
+  * pass). VIDEO decode is real for the MJPEG-AVI family:
+  * [[VideoDecoder]] walks the RIFF container ([[RiffVideo]], pure JVM)
+  * and decodes each `00dc`/`00db` frame codestream through ImageIO —
+  * covering MJPEG AVIs (JPEG frames) and any ImageIO-readable
+  * intra-frame codec; INTER-frame codecs (H.264 &c.) remain out of JDK
+  * reach and fall back to the deterministic [[FakeDecoder]] stub (swap
+  * in a codec-backed [[Decoder]] in production). [[JdkDecoder]]
+  * combines all three. The Spark-side plumbing — schema, binary column
+  * handling, partition-batched decode via `mapPartitions` (the JVM
+  * analog of `mapInPandas`: one decoder instantiation per partition,
+  * streaming over rows), partitioning — is real and tested.
   */
 object Multimodal {
 
@@ -245,15 +249,134 @@ object Multimodal {
       ImageHeaderDecoder.decode(Iterator.single(m)).next()
   }
 
+  /** Minimal RIFF/AVI container support, pure JVM: a writer producing a
+    * spec-shaped MJPEG-style AVI (RIFF → hdrl(avih, strl(strh vids,
+    * strf)) → movi(00dc frames)) and a tolerant reader that walks the
+    * chunk tree and returns each frame's codestream bytes. The reader
+    * never trusts sizes past the buffer (corrupt files yield the
+    * frames parsed so far). */
+  object RiffVideo {
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    private def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] =
+        if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+      fourcc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    private def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(typ) ++ body)
+
+    def makeAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+        fps: Int = 25): Array[Byte] = {
+      val avih = chunk("avih",
+        le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+          le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(0) ++
+          le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val strh = chunk("strh",
+        fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le32(0) ++
+          le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+          le32(frames.size) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+          le32(0) ++ le32(0))
+      val strf = chunk("strf",
+        le32(40) ++ le32(w) ++ le32(h) ++
+          Array[Byte](1, 0, 24, 0) ++ fourcc("MJPG") ++
+          le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi",
+        frames.toArray.flatMap(f => chunk("00dc", f)))
+      val body = fourcc("AVI ") ++ hdrl ++ movi
+      fourcc("RIFF") ++ le32(body.length) ++ body
+    }
+
+    /** Frame codestreams of an AVI, in stream order; Nil when the
+      * bytes are not a RIFF container. */
+    def frameStreams(avi: Array[Byte]): Seq[Array[Byte]] = {
+      if (avi.length < 12 || avi(0) != 'R' || avi(1) != 'I' ||
+        avi(2) != 'F' || avi(3) != 'F') return Nil
+      def rd32(p: Int): Int = (avi(p) & 0xff) | ((avi(p + 1) & 0xff) << 8) |
+        ((avi(p + 2) & 0xff) << 16) | ((avi(p + 3) & 0xff) << 24)
+      def id(p: Int): String = new String(avi, p, 4, "US-ASCII")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, to: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val cid = id(p)
+          val sz = rd32(p + 4)
+          if (sz < 0 || p + 8 + sz > to) return // corrupt: stop here
+          if (cid == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
+          else if ((cid.endsWith("dc") || cid.endsWith("db")) && sz > 0)
+            out += java.util.Arrays.copyOfRange(avi, p + 8, p + 8 + sz)
+          p += 8 + sz + (sz & 1)
+        }
+      }
+      walk(12, math.min(avi.length.toLong, 8L + rd32(4)).toInt)
+      out.toSeq
+    }
+  }
+
+  /** REAL video decoder for the MJPEG-AVI family: RIFF chunk walk →
+    * per-frame ImageIO decode (JPEG frames in real MJPEG files; any
+    * ImageIO-readable intra-frame codestream works). `width`/`height`
+    * from the first decodable frame, `n_frames` = decoded frame count,
+    * `feature` = 16-bin luminance histogram over ALL frames' pixels
+    * (normalized by total pixel count). Non-RIFF video bytes (e.g.
+    * inter-frame codecs the JDK cannot decode) fall back to the
+    * deterministic stub. */
+  object VideoDecoder extends Decoder {
+    def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
+      items.map { m =>
+        if (m.media_type != "video") fallback(m)
+        else try {
+          val imgs = RiffVideo.frameStreams(m.content).flatMap(f =>
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(f))))
+          if (imgs.isEmpty) fallback(m)
+          else {
+            val w = imgs.head.getWidth
+            val h = imgs.head.getHeight
+            val hist = new Array[Float](16)
+            var total = 0L
+            imgs.foreach { img =>
+              val fw = img.getWidth
+              val row = new Array[Int](fw)
+              var y = 0
+              while (y < img.getHeight) {
+                img.getRGB(0, y, fw, 1, row, 0, fw)
+                var x = 0
+                while (x < fw) {
+                  val rgb = row(x)
+                  val lum = (((rgb >> 16) & 0xff) * 299 +
+                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                  hist(lum >> 4) += 1f
+                  x += 1
+                }
+                y += 1
+              }
+              total += img.getWidth.toLong * img.getHeight
+            }
+            MediaFeatures(m.media_id, m.media_type, m.n_bytes,
+              w, h, imgs.size,
+              hist.map(_ / math.max(1L, total).toFloat))
+          }
+        } catch { case _: Exception => fallback(m) }
+      }
+
+    private def fallback(m: MediaItem): MediaFeatures =
+      FakeDecoder.decode(Iterator.single(m)).next()
+  }
+
   /** Full JDK decoder: image pixels via [[ImageIODecoder]], audio PCM
-    * via [[AudioDecoder]], video falls through to the deterministic
-    * stub — the most capable zero-dependency decoder. */
+    * via [[AudioDecoder]], MJPEG-family video via [[VideoDecoder]] —
+    * the most capable zero-dependency decoder. */
   object JdkDecoder extends Decoder {
     def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
       items.map { m =>
         m.media_type match {
           case "image" => ImageIODecoder.decode(Iterator.single(m)).next()
           case "audio" => AudioDecoder.decode(Iterator.single(m)).next()
+          case "video" => VideoDecoder.decode(Iterator.single(m)).next()
           case _ => FakeDecoder.decode(Iterator.single(m)).next()
         }
       }
@@ -327,6 +450,38 @@ object Multimodal {
     /** Alternating media kind by id: even → PNG image, odd → WAV audio. */
     def item(i: Long): MediaItem =
       if (i % 2 == 0) pngItem(i) else wavItem(i)
+
+    /** Gray-PNG-frame AVI: `2 + (i%2)` frames of the pngItem pattern
+      * shifted per frame — frame j pixel
+      * `g(x,y) = (x·7 + y·13 + i·31 + j·17) mod 256`, dims as pngItem
+      * (w = 8 + (i%5)·4, h = 8 + (i%3)·4). PNG frames are lossless, so
+      * the decoded per-bin counts over ALL frames are exact integer
+      * arithmetic — the video leg of the q64 oracle gate. (Real MJPEG
+      * files carry JPEG frames; [[VideoDecoder]] reads either.) */
+    def aviItem(i: Long): MediaItem = {
+      val w = (8 + (i % 5) * 4).toInt
+      val h = (8 + (i % 3) * 4).toInt
+      val nf = (2 + (i % 2)).toInt
+      val frames = (0 until nf).map { j =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((x * 7 + y * 13 + i * 31 + j * 17) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        baos.toByteArray
+      }
+      val avi = RiffVideo.makeAvi(frames, w, h)
+      MediaItem(i, "video", avi, avi.length.toLong)
+    }
   }
 
   /** Wrap a text/binary source into the media-item shape (fake content

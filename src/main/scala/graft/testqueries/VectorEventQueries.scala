@@ -317,11 +317,18 @@ object VectorEventQueries {
     QueryDef("q64_media_decode",
       (s, d) => {
         import s.implicits._
-        val items = nation(s, d)
+        val ids = nation(s, d)
           .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        val items = ids
           .mapPartitions(_.map(graft.ops.Multimodal.SyntheticMedia.item))
+        // video leg (REAL RIFF/AVI + per-frame ImageIO decode): ids
+        // offset by 100 so the image/audio rows are untouched
+        val vids = ids.filter(_ < 8).mapPartitions(_.map(i =>
+          graft.ops.Multimodal.SyntheticMedia.aviItem(i)
+            .copy(media_id = 100 + i)))
         graft.ops.Multimodal
-          .decodeFeatures(s, items.toDF(), graft.ops.Multimodal.JdkDecoder)
+          .decodeFeatures(s, items.union(vids).toDF(),
+            graft.ops.Multimodal.JdkDecoder)
           .toDF()
           .select(col("media_id"), col("media_type"),
             col("width"), col("height"), col("n_frames"),
@@ -331,6 +338,8 @@ object VectorEventQueries {
               round(f.cast("double") *
                 when(col("media_type") === "image",
                   col("width") * col("height"))
+                  .when(col("media_type") === "video",
+                    col("n_frames") * col("width") * col("height"))
                   .otherwise(col("n_frames"))).cast("long"))).as("hist"))
           .orderBy("media_id")
       },
@@ -349,6 +358,15 @@ object VectorEventQueries {
         SELECT i, ((j * 1103 + i * 12345) % 65536) // 4096 AS bin
         FROM aud, UNNEST(range(0, n)) tj(j)),
       abins AS (SELECT i, list(bin) AS bins FROM apix GROUP BY i),
+      vid AS (
+        SELECT i, 8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h,
+          2 + (i % 2) AS nf
+        FROM ids WHERE i < 8),
+      vpix AS (
+        SELECT i, ((x * 7 + y * 13 + i * 31 + j * 17) % 256) // 16 AS bin
+        FROM vid, UNNEST(range(0, nf)) tj(j),
+          UNNEST(range(0, w)) tx(x), UNNEST(range(0, h)) ty(y)),
+      vbins AS (SELECT i, list(bin) AS bins FROM vpix GROUP BY i),
       allrows AS (
         SELECT img.i AS media_id, 'image' AS media_type,
           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
@@ -357,7 +375,11 @@ object VectorEventQueries {
         UNION ALL
         SELECT aud.i, 'audio', CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
           CAST(n AS INTEGER), b.bins
-        FROM aud JOIN abins b ON aud.i = b.i)
+        FROM aud JOIN abins b ON aud.i = b.i
+        UNION ALL
+        SELECT vid.i + 100, 'video', CAST(w AS INTEGER),
+          CAST(h AS INTEGER), CAST(nf AS INTEGER), b.bins
+        FROM vid JOIN vbins b ON vid.i = b.i)
       SELECT media_id, media_type, width, height, n_frames,
         array_to_string(list_transform(range(0, 16),
           b -> CAST(len(list_filter(bins, x -> x = b)) AS VARCHAR)), ',')

@@ -484,6 +484,27 @@ class OpsSpec extends SparkSpec {
     assert(out(3L).feature.length == 16)
   }
 
+  test("video decode: RIFF walk + per-frame ImageIO on a generated AVI") {
+    import graft.ops.Multimodal
+    val item = Multimodal.SyntheticMedia.aviItem(3) // 20x8, 3 frames
+    // container round-trip: the frames come back as written
+    val streams = Multimodal.RiffVideo.frameStreams(item.content)
+    assert(streams.size == 3)
+    val out = Multimodal.VideoDecoder.decode(Iterator.single(item)).next()
+    assert(out.width == 20 && out.height == 8 && out.n_frames == 3)
+    // closed-form expected histogram over all frames
+    val expect = new Array[Long](16)
+    for (j <- 0 until 3; y <- 0 until 8; x <- 0 until 20)
+      expect(((x * 7 + y * 13 + 3 * 31 + j * 17) % 256) >> 4) += 1
+    val total = 3L * 20 * 8
+    val got = out.feature.map(f => math.round(f.toDouble * total))
+    assert(got.sameElements(expect), got.mkString(","))
+    // non-RIFF video bytes fall back to the stub, not an exception
+    val junk = Multimodal.VideoDecoder.decode(Iterator.single(
+      graft.ops.MediaItem(9L, "video", Array[Byte](1, 2, 3), 3L))).next()
+    assert(junk.media_id == 9L)
+  }
+
   test("synthetic media decodes to its closed-form histogram (q64 gate)") {
     import graft.ops.Multimodal
     import TestSpark.spark.implicits._
