@@ -14,6 +14,25 @@ object CompletenessQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // UNPIVOT / melt — the inverse of W1's pivot (wide measures →
+    // (name, value) rows). Spark's native unpivot plans as Expand (a
+    // narrow op: the early range partitioning on the id survives to the
+    // tail sort — the q17 discipline for a 2x-corpus output).
+    QueryDef("q72_unpivot",
+      (s, d) => part(s, d)
+        .repartitionByRange(col("p_partkey"))
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "val")
+        .sortWithinPartitions("p_partkey", "metric"),
+      Some("""SELECT p_partkey, metric, val FROM (
+        UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+          p_retailprice FROM part)
+        ON p_size, p_retailprice INTO NAME metric VALUE val)
+        ORDER BY p_partkey, metric""")),
+
     // Left outer join with null-extension + conditional aggregation over
     // the null side.
     QueryDef("q32_outer_join",
