@@ -14,6 +14,27 @@ object CompletenessQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Blocked edit-distance fuzzy join (entity resolution): pairs
+    // within (mktsegment, nationkey) blocks at Levenshtein <= 1 —
+    // threshold-filtered pair list (149 rows at sf0.01), exact within
+    // blocks; the oracle replays the identical blocking + distance.
+    QueryDef("q73_fuzzy_join",
+      (s, d) => QueryDef.sorted1(
+        graft.ops.FuzzyJoin.editDistanceJoin(customer(s, d),
+          "c_custkey", "c_name", maxDist = 1,
+          blockCols = Seq("c_mktsegment", "c_nationkey")),
+        col("a_id"), col("b_id")),
+      Some("""SELECT x.c_custkey AS a_id, y.c_custkey AS b_id,
+        x.c_name AS a_val, y.c_name AS b_val,
+        levenshtein(x.c_name, y.c_name) AS dist
+        FROM customer x JOIN customer y
+        ON x.c_mktsegment = y.c_mktsegment
+          AND x.c_nationkey = y.c_nationkey
+          AND x.c_custkey < y.c_custkey
+          AND abs(length(x.c_name) - length(y.c_name)) <= 1
+          AND levenshtein(x.c_name, y.c_name) <= 1
+        ORDER BY a_id, b_id""")),
+
     // UNPIVOT / melt — the inverse of W1's pivot (wide measures →
     // (name, value) rows). Spark's native unpivot plans as Expand (a
     // narrow op: the early range partitioning on the id survives to the

@@ -93,7 +93,8 @@ class PlanShapeSpec extends SparkSpec {
         "output sort itself is a parallel range sort)"),
       "q71_gapfill_resample" -> ("1-row global min/max bounds aggregate " +
         "feeding the hour grid (the output sort is a parallel range " +
-        "sort)"))
+        "sort)"),
+      "q73_fuzzy_join" -> "threshold-filtered pair list")
     // q58 excluded: building its frame executes the full
     // write→stream→append loop (side effects, ~seconds); its final
     // query is perProblemStats, which ends in a parallel orderBy.
