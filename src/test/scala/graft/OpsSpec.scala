@@ -127,6 +127,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("symmetric-delete fuzzy join == naive blocked pairwise at " +
+      "d=1 and d=2 (recall-exactness)") {
+    import graft.ops.FuzzyJoin
+    val rnd = new scala.util.Random(43)
+    // tiny alphabet + short lengths force dense near-pair structure,
+    // incl. duplicates, empties, and 1-char strings
+    val strs = (0L until 180L).map { i =>
+      val n = rnd.nextInt(7) // 0..6
+      (i, (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString,
+        s"b${rnd.nextInt(2)}")
+    }.toDF("id", "s", "blk")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    Seq(1, 2).foreach { d =>
+      val fast = canon(FuzzyJoin.editDistanceJoin(strs, "id", "s", d,
+        Seq("blk")))
+      val naive = canon(FuzzyJoin.editDistanceJoinBlocked(strs, "id",
+        "s", d, Seq("blk")))
+      assert(fast == naive, s"d=$d: ${fast.size} vs ${naive.size}")
+      assert(fast.nonEmpty)
+    }
+  }
+
   test("quantized brute-force topk matches exact topk on separated " +
       "clusters") {
     val rnd = new scala.util.Random(41)
