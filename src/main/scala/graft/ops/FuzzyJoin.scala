@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   * a shuffle-by-key join (len+1 variant rows per string at d=1), never
   * a per-block n²; [[editDistanceJoinBlocked]] keeps the naive blocked
   * pairwise form for arbitrary d and as the parity reference
-  * (OpsSpec). Measured on q73 (15k names, 125 blocks): 2.8s → the
-  * equi-join shape, with the refine computed ONCE behind a pushdown
-  * barrier (predicate substitution would otherwise evaluate the
-  * O(len²) distance twice per pair).
+  * (OpsSpec). Measured on q73 (15k names, 125 blocks): naive 2.8s →
+  * 1.0s (codegen'd variant generation, 64-bit hashed join keys, one
+  * reused exchange for the self-join — shuffle_hash hint, since the
+  * planner would otherwise driver-broadcast the whole variant stream).
   */
 object FuzzyJoin {
 
@@ -37,32 +37,55 @@ object FuzzyJoin {
     require(maxDist >= 1 && maxDist <= 2,
       "symmetric-delete join supports maxDist 1..2; use " +
         "editDistanceJoinBlocked beyond that")
-    val withVars = maxDist match {
-      case 1 => rows.withColumn("__vars", expr(delExpr(strCol)))
-      case _ => rows
+    // d=1 generates variants WITHOUT a higher-order lambda (interpreted
+    // per element — measured 0.35s of q73's budget): explode the
+    // deletion POSITION, then one codegen'd substring/concat projection
+    // (position 0 = the identity variant).
+    val slim = rows.select(
+      (blockCols.map(col) :+ col(idCol) :+ col(strCol)): _*)
+    val exploded = maxDist match {
+      case 1 => slim
+        .withColumn("__i",
+          explode(sequence(lit(0), length(col(strCol)))))
+        .withColumn("__v", expr(
+          s"CASE WHEN __i = 0 THEN $strCol ELSE " +
+            s"concat(substring($strCol, 1, __i - 1), " +
+            s"substring($strCol, __i + 1, length($strCol))) END"))
+        .drop("__i")
+      case _ => slim
         .withColumn("__v1", expr(delExpr(strCol)))
         .withColumn("__vars", array_distinct(expr(
           s"flatten(transform(__v1, s -> ${delExpr("s")}))")))
-        .drop("__v1")
+        .withColumn("__v", explode(col("__vars")))
+        .drop("__v1", "__vars")
     }
-    val ex = withVars
-      .select((blockCols.map(col) ++ Seq(col(idCol), col(strCol),
-        explode(col("__vars")).as("__v"))): _*)
-    val blockEq = (blockCols.map(c => col(s"x.$c") === col(s"y.$c")) :+
-      (col("x.__v") === col("y.__v"))).reduce(_ && _)
-    val cand = ex.as("x").join(ex.as("y"),
-        blockEq && col(s"x.$idCol") < col(s"y.$idCol"))
+    // slim the shuffle to two 64-bit keys (the dedup-stack discipline:
+    // fixed-width hashed shuffle keys): k = hash(blocks, variant) is
+    // the candidate key, bh = hash(blocks) double-checks the block on
+    // the off chance k collides across blocks; the exact Levenshtein
+    // refine below clears any same-block variant-hash collision.
+    val ex = exploded.select(
+      xxhash64((blockCols.map(col) :+ col("__v")): _*).as("__k"),
+      xxhash64(blockCols.map(col): _*).as("__bh"),
+      col(idCol), col(strCol))
+    // shuffle_hash hint: without it the planner broadcasts the whole
+    // exploded variant stream (measured ~1s of driver collect + build
+    // at sf0.1); a shuffle join lets the self-join REUSE one exchange
+    // of the slim (k, bh, id, s) rows for both sides.
+    val cand = ex.as("x").join(ex.as("y").hint("shuffle_hash"),
+        col("x.__k") === col("y.__k") && col("x.__bh") === col("y.__bh")
+          && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
         col(s"x.$strCol").as("a_val"), col(s"y.$strCol").as("b_val"))
       .distinct()
+    // Catalyst substitutes this predicate through the distinct into
+    // the JOIN condition — which is the RIGHT place: it runs once per
+    // (k, bh)-matched candidate row (a few per true pair) and shrinks
+    // the distinct's input; the projection re-evaluates the distance
+    // only for the surviving pairs.
     cand
       .withColumn("dist", levenshtein(col("a_val"), col("b_val")))
-      // nondeterministic column = pushdown barrier: the dist predicate
-      // must not be substituted below this projection (it would run
-      // the O(len²) distance once in the filter and once here)
-      .withColumn("__barrier", monotonically_increasing_id())
       .filter(col("dist") <= maxDist)
-      .drop("__barrier")
   }
 
   /** Naive blocked pairwise form: exact within blocks at any `maxDist`,
