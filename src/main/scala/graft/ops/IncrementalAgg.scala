@@ -32,6 +32,44 @@ object IncrementalAgg {
       min(col(v)).as("min_v"),
       max(col(v)).as("max_v"))
 
+  /** [[statsOf]] plus a MERGEABLE distinct-count state: an HLL sketch
+    * of `distinctCol` per group (Spark's Datasketches-backed
+    * `hll_sketch_agg` — sketches union losslessly, so the merged
+    * estimate equals the one-shot estimate EXACTLY, not approximately:
+    * merge-order invariance is spec-asserted). The estimate itself is
+    * approximate vs a true COUNT(DISTINCT) — that is the 100 TB trade:
+    * exact distinct state is unbounded per group, the sketch is KBs. */
+  def statsOfWithDistinct(df: DataFrame, keys: Seq[String], v: String,
+      distinctCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col(v).cast("decimal(28,2)")).cast("decimal(28,2)").as("sum_v"),
+      min(col(v)).as("min_v"),
+      max(col(v)).as("max_v"),
+      hll_sketch_agg(col(distinctCol)).as("distinct_sketch"))
+
+  /** [[merge]] for [[statsOfWithDistinct]] state: sketches union via
+    * `hll_union_agg`. */
+  def mergeWithDistinct(prev: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val deltaKeys = delta.select(keys.map(col): _*).distinct()
+    val untouched = prev.join(broadcast(deltaKeys), keys, "left_anti")
+    val touched = prev.join(broadcast(deltaKeys), keys, "left_semi")
+      .unionByName(delta)
+      .groupBy(keys.map(col): _*).agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_v")).cast("decimal(28,2)").as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        hll_union_agg(col("distinct_sketch")).as("distinct_sketch"))
+    untouched.unionByName(touched)
+  }
+
+  /** Read the distinct-count estimate off the sketch state. */
+  def distinctEstimate(stats: DataFrame): DataFrame =
+    stats.withColumn("n_distinct",
+      hll_sketch_estimate(col("distinct_sketch")))
+
   /** Fold `delta` state into `prev` state. Groups the delta does not
     * touch pass through WITHOUT shuffling (broadcast anti-join on the
     * delta's distinct keys — small by construction: it is the set of

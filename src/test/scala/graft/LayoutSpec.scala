@@ -213,6 +213,41 @@ class LayoutSpec extends SparkSpec {
     assert(lake.observations.count() == 3)
   }
 
+  test("IncrementalAgg sketch state: merged distinct estimate == " +
+      "one-shot estimate, any merge order") {
+    import graft.ops.IncrementalAgg
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 900).map { i =>
+      (i % 3, s"g${rnd.nextInt(5)}", rnd.nextInt(100000) / 100.0,
+        s"u${rnd.nextInt(400)}")
+    }.toDF("era", "g", "v", "user")
+    val keys = Seq("g")
+    def stats(era: Int) = IncrementalAgg.statsOfWithDistinct(
+      rows.filter(col("era") === era), keys, "v", "user")
+    def estimates(d: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.distinctEstimate(d)
+        .select("g", "n_distinct").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = estimates(IncrementalAgg.statsOfWithDistinct(
+      rows, keys, "v", "user"))
+    // two different merge orders, both == the one-shot sketch: HLL
+    // union is lossless over sketches, so the ESTIMATES are identical
+    val m012 = estimates(IncrementalAgg.mergeWithDistinct(
+      IncrementalAgg.mergeWithDistinct(stats(0), stats(1), keys),
+      stats(2), keys))
+    val m210 = estimates(IncrementalAgg.mergeWithDistinct(
+      IncrementalAgg.mergeWithDistinct(stats(2), stats(1), keys),
+      stats(0), keys))
+    assert(m012 == full && m210 == full)
+    // sanity: the estimate is in the right ballpark of the true count
+    val truth = rows.groupBy("g").agg(countDistinct("user").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (g, est) =>
+      assert(math.abs(est - truth(g)).toDouble / truth(g) < 0.15,
+        s"$g: est=$est true=${truth(g)}")
+    }
+  }
+
   test("IncrementalAgg: chained era merges == one-shot stats, " +
       "delta-only and prev-only groups included") {
     import graft.ops.IncrementalAgg
