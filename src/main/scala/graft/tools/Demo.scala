@@ -97,6 +97,31 @@ object Demo {
       Seq("l_orderkey"), 4)
       .groupBy("o_orderpriority").count().orderBy("o_orderpriority")
       .show(false)
+
+    println("-- round-4 layout & maintenance surface --")
+    // Z-order curve key from SQL (graft_zorder is extensions-injected)
+    spark.sql("SELECT graft_zorder(3, 5) AS z").show(false)
+    // bloom-pruned exact join
+    val li = graft.testqueries.Tables.lineitem(spark, td)
+    val smallOrders = graft.testqueries.Tables.orders(spark, td)
+      .filter(col("o_totalprice") > 200000).select("o_orderkey")
+    println("bloom-pruned join rows = " + graft.ops.BloomPrune
+      .prunedEquiJoin(li, smallOrders, col("l_orderkey"),
+        col("o_orderkey"), expectedItems = 10000L).count())
+    // incremental stats maintenance: merge == recompute
+    val keys = Seq("l_returnflag")
+    val prev = graft.ops.IncrementalAgg.statsOf(
+      li.filter(col("l_orderkey") % 2 === 0), keys, "l_extendedprice")
+    val delta = graft.ops.IncrementalAgg.statsOf(
+      li.filter(col("l_orderkey") % 2 === 1), keys, "l_extendedprice")
+    graft.ops.IncrementalAgg.merge(prev, delta, keys)
+      .orderBy("l_returnflag").show(false)
+    // symmetric-delete fuzzy join on a toy frame
+    import spark.implicits._
+    graft.ops.FuzzyJoin.editDistanceJoin(
+      Seq((1L, "kitten", "b"), (2L, "kittex", "b"), (3L, "sitting", "b"))
+        .toDF("id", "s", "blk"),
+      "id", "s", maxDist = 1, blockCols = Seq("blk")).show(false)
     println("DEMO_OK")
     spark.stop()
   }
