@@ -116,29 +116,46 @@ object EventsStreaming {
     * [[graft.ops.IncrementalAgg.merge]] — the stats table is exactly
     * `IncrementalAgg.statsOf(all rows so far)` after every batch
     * (StreamingSpec), with per-batch cost ∝ the batch + its touched
-    * groups, never the history. The 100 TB shape: a continuously
-    * maintained rollup whose maintenance work tracks the APPEND rate.
-    * `statsDir` is overwrite-swapped per batch (the checkpoint is the
-    * recovery log; the read is atomic because parquet readers list the
-    * directory at plan time). */
+    * groups, never the history. The 100 TB shape end to end: the
+    * stats table is PARTITIONED by a hash bucket of the group key, so
+    * a batch reads only the buckets its groups hash into
+    * (partition-pruned scan) and dynamic partition overwrite rewrites
+    * ONLY those buckets — without the bucketing, every micro-batch
+    * would re-read and re-write the whole stats table no matter how
+    * small the delta. The checkpoint is the recovery log. */
   def streamIncrementalStats(spark: SparkSession, srcDir: String,
       srcSchema: org.apache.spark.sql.types.StructType,
       keys: Seq[String], valueCol: String, statsDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(srcSchema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val delta = graft.ops.IncrementalAgg.statsOf(batch, keys, valueCol)
-        val merged =
-          if (new java.io.File(statsDir).exists())
-            graft.ops.IncrementalAgg.merge(
-              batch.sparkSession.read.parquet(statsDir), delta, keys)
-          else delta
-        // materialize before overwriting the path the plan reads
-        merged.localCheckpoint(true)
-          .write.mode("overwrite").parquet(statsDir)
+        def bucketed(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("__bucket",
+            pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
+        val delta = bucketed(
+          graft.ops.IncrementalAgg.statsOf(batch, keys, valueCol))
+        if (!new java.io.File(statsDir).exists())
+          delta.write.partitionBy("__bucket").parquet(statsDir)
+        else {
+          // bounded driver-side list (≤ nBuckets) drives partition
+          // pruning on the read AND scopes the dynamic overwrite
+          val touched = delta.select("__bucket").distinct()
+            .collect().map(_.getInt(0))
+          val prevTouched = batch.sparkSession.read.parquet(statsDir)
+            .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
+          val merged = bucketed(graft.ops.IncrementalAgg.merge(
+            prevTouched.drop("__bucket"), delta.drop("__bucket"), keys))
+          // materialize before overwriting partitions the plan reads
+          merged.localCheckpoint(true)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(statsDir)
+        }
       }
       .start()
 
