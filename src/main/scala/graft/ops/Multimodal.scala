@@ -152,7 +152,8 @@ object Multimodal {
     * identical vectors regardless of byte-level encoding differences).
     * Non-image items and undecodable bytes fall back to
     * [[ImageHeaderDecoder]] (audio/video decode still needs external
-    * codecs — the one remaining stub). Per-partition instantiation via
+    * codecs; [[VideoDecoder]] covers the MJPEG-AVI family, inter-frame
+    * codecs remain external). Per-partition instantiation via
     * [[decodeFeatures]] amortizes ImageIO's plugin-registry lookup.
     * Production note: for throughput on large images, read the raster
     * row-wise (`getRGB(x, y, w, 1, buf, 0, w)`) exactly as done here —
@@ -202,8 +203,9 @@ object Multimodal {
     * samples (bin = (amplitude+1)/2 × 16 over [-1, 1]) — a real,
     * deterministic content feature. 8/16-bit PCM, both endiannesses,
     * signed and unsigned. Non-audio items and undecodable bytes fall
-    * back to [[ImageHeaderDecoder]]; video remains the one stub (the
-    * JDK has no video codec). */
+    * back to [[ImageHeaderDecoder]]; MJPEG-family video decodes via
+    * [[VideoDecoder]] (inter-frame codecs remain the one external
+    * dependency — the JDK ships no H.264-class codec). */
   object AudioDecoder extends Decoder {
     def decode(items: Iterator[MediaItem]): Iterator[MediaFeatures] =
       items.map { m =>
