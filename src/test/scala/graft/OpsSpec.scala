@@ -536,6 +536,26 @@ class OpsSpec extends SparkSpec {
     assert(out(3L).feature.length == 16)
   }
 
+  test("real pixel resize: image items re-encode at target dims, " +
+      "others pass through") {
+    import graft.ops.Multimodal
+    val png = Multimodal.SyntheticMedia.pngItem(4) // 24x12
+    val wav = Multimodal.SyntheticMedia.wavItem(1)
+    val resized = Multimodal.resizeImages(spark,
+      Seq(png, wav).toDS().toDF(), 8, 8).collect()
+    val img = resized.find(_.media_type == "image").get
+    val out = Multimodal.ImageIODecoder
+      .decode(Iterator.single(img)).next()
+    assert(out.width == 8 && out.height == 8)
+    assert(img.n_bytes == img.content.length.toLong)
+    // non-image untouched, undecodable image bytes untouched
+    val aud = resized.find(_.media_type == "audio").get
+    assert(aud.content.sameElements(wav.content))
+    val junk = graft.ops.MediaItem(7L, "image", Array[Byte](1, 2), 2L)
+    assert(Multimodal.resizeImages(spark, Seq(junk).toDS().toDF(), 8, 8)
+      .collect().head.content.sameElements(junk.content))
+  }
+
   test("video decode: RIFF walk + per-frame ImageIO on a generated AVI") {
     import graft.ops.Multimodal
     val item = Multimodal.SyntheticMedia.aviItem(3) // 20x8, 3 frames
