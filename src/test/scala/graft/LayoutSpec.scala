@@ -178,6 +178,38 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("Lakehouse.compactZOrder: partition predicate scopes the " +
+      "rewrite; empty selection is a no-op") {
+    import graft.lake.Lakehouse
+    import graft.schema.{Observation, Schemas}
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def o(p: String, impl: String, step: Int) =
+      Observation("ds", p, impl, "t1", "", "", "r1", "e1", step,
+        Some("op"), None, Some("o"), Some(step.toDouble), None, None,
+        Some(ts), None, None, None, Some(false))
+    val rows = (0 until 32).map(s => o(s"p${s % 2}", s"i$s", s))
+    val wh = tmpDir("zw-pred")
+    val lake = new Lakehouse(spark, wh)
+    lake.append("observations", rows.toDF(), Schemas.observations)
+    val before = lake.observations.drop("created_at")
+      .collect().map(_.toSeq).toSet
+    // scoped rewrite: only p0; p1 files untouched on disk
+    val p1Files = new java.io.File(
+      s"$wh/observations/data_set_id=ds/problem_id=p1").list().toSet
+    lake.compactZOrder("observations", Schemas.observations,
+      Seq("step_id", "execution_time_ms"),
+      col("problem_id") === "p0")
+    assert(lake.observations.drop("created_at")
+      .collect().map(_.toSeq).toSet == before)
+    assert(new java.io.File(
+      s"$wh/observations/data_set_id=ds/problem_id=p1").list().toSet
+      == p1Files, "untouched partition must keep its files")
+    // empty selection: no-op, no exception, data intact
+    lake.compactZOrder("observations", Schemas.observations,
+      Seq("step_id"), col("problem_id") === "nope")
+    assert(lake.observations.count() == 32)
+  }
+
   test("Lakehouse.deleteWhere: partial + full-partition deletes, " +
       "NULL predicate keeps rows, untouched partitions unharmed") {
     import graft.lake.Lakehouse
