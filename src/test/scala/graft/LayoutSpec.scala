@@ -32,6 +32,29 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("ZOrderExpr == bit-by-bit reference for generated dims and " +
+      "values (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      nDims <- Gen.choose(2, 4)
+      n <- Gen.choose(5, 40)
+      rows <- Gen.listOfN(n, Gen.listOfN(nDims,
+        Gen.oneOf(Gen.choose(0L, 15L), Gen.choose(0L, Long.MaxValue),
+          Gen.const(0L), Gen.const(-1L))))
+    } yield (nDims, rows)
+    val prop = Prop.forAll(gen) { case (nDims, rows) =>
+      val df = rows.map(r => Tuple1(r.toArray)).toDF("dims")
+      val cols = (0 until nDims).map(i => col("dims")(i))
+      val got = df.select(ZOrderExpr.zorder(cols: _*).as("z"),
+        col("dims")).collect()
+      got.forall(r => r.getLong(0) ==
+        refZ(r.getSeq[Long](1).toSeq))
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(10).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("ZOrderExpr generic N-D path and int inputs") {
     val rows = Seq((3, 5L, 7), (0, 0L, 0), (1048575, 1048575L, 1048575))
     val got = rows.toDF("a", "b", "c")
