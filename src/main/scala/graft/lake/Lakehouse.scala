@@ -216,8 +216,15 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     val root = new org.apache.hadoop.fs.Path(dir(table))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(r => stillThere.contains(r.toSeq)).foreach { r =>
-      val rel = Schemas.partitionCols.zipWithIndex
-        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+      // render the dir with Spark's OWN partition-path escaping (special
+      // chars URL-escaped, NULL → __HIVE_DEFAULT_PARTITION__) — a raw
+      // "$c=$v" path misses for such values and the "deleted" rows would
+      // silently reappear on the next read
+      val rel = Schemas.partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = if (r.isNullAt(i)) null else String.valueOf(r.get(i))
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c, v)
+      }.mkString("/")
       fs.delete(new org.apache.hadoop.fs.Path(root, rel), true)
     }
   }
@@ -242,10 +249,15 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
       Seq(min(col(d).cast("double")).as(s"${d}_lo"),
         max(col(d).cast("double")).as(s"${d}_hi"))): _*).head()
     if (bounds.isNullAt(0)) return // empty selection: nothing to rewrite
+    // ZOrderExpr keeps only the low 64/n bits per dimension — encode into
+    // that same budget (capped at 20) or the curve order would silently
+    // wrap for 4+ dims as the top bits get masked off
+    val bitsPerDim = math.min(20, 64 / dims.size)
     val enc = dims.zipWithIndex.map { case (d, i) =>
       val lo = bounds.getDouble(2 * i)
       val span = math.max(bounds.getDouble(2 * i + 1) - lo, 1e-12)
-      ((col(d).cast("double") - lo) / span * ((1 << 20) - 1)).cast("long")
+      ((col(d).cast("double") - lo) / span * ((1L << bitsPerDim) - 1))
+        .cast("long")
     }
     base
       .withColumn("__zorder", graft.plans.ZOrderExpr.zorder(enc: _*))

@@ -48,13 +48,32 @@ object IncrementalAgg {
       max(col(v)).as("max_v"),
       hll_sketch_agg(col(distinctCol)).as("distinct_sketch"))
 
+  /** Null-safe equality on every group key. `groupBy` keeps NULL as a
+    * real group, so the touched/untouched split must route a NULL-keyed
+    * delta to the SAME side as prev's NULL-keyed state row — a plain
+    * `=` join would leave prev's NULL row in "untouched" AND emit the
+    * delta's NULL row from "touched", duplicating the group. */
+  /** The delta's distinct keys under UNAMBIGUOUS names: prev and delta
+    * typically share lineage (two filters of one frame), so a condition
+    * built from same-named columns can resolve both sides to one
+    * attribute and degenerate to `true` — renaming the right side makes
+    * the null-safe condition well-defined. Semi/anti joins emit only
+    * prev's columns, so the rename never leaks. */
+  private def distinctKeysRenamed(delta: DataFrame, keys: Seq[String]) =
+    delta.select(keys.map(k => col(k).as(s"__dk_$k")): _*).distinct()
+
+  private def keyCond(prev: DataFrame, deltaKeys: DataFrame,
+      keys: Seq[String]) =
+    keys.map(k => prev(k) <=> deltaKeys(s"__dk_$k")).reduce(_ && _)
+
   /** [[merge]] for [[statsOfWithDistinct]] state: sketches union via
     * `hll_union_agg`. */
   def mergeWithDistinct(prev: DataFrame, delta: DataFrame,
       keys: Seq[String]): DataFrame = {
-    val deltaKeys = delta.select(keys.map(col): _*).distinct()
-    val untouched = prev.join(broadcast(deltaKeys), keys, "left_anti")
-    val touched = prev.join(broadcast(deltaKeys), keys, "left_semi")
+    val deltaKeys = distinctKeysRenamed(delta, keys)
+    val cond = keyCond(prev, deltaKeys, keys)
+    val untouched = prev.join(broadcast(deltaKeys), cond, "left_anti")
+    val touched = prev.join(broadcast(deltaKeys), cond, "left_semi")
       .unionByName(delta)
       .groupBy(keys.map(col): _*).agg(
         sum(col("n_rows")).as("n_rows"),
@@ -79,9 +98,10 @@ object IncrementalAgg {
     * (monoid associativity; spec + oracle q68). */
   def merge(prev: DataFrame, delta: DataFrame,
       keys: Seq[String]): DataFrame = {
-    val deltaKeys = delta.select(keys.map(col): _*).distinct()
-    val untouched = prev.join(broadcast(deltaKeys), keys, "left_anti")
-    val touched = prev.join(broadcast(deltaKeys), keys, "left_semi")
+    val deltaKeys = distinctKeysRenamed(delta, keys)
+    val cond = keyCond(prev, deltaKeys, keys)
+    val untouched = prev.join(broadcast(deltaKeys), cond, "left_anti")
+    val touched = prev.join(broadcast(deltaKeys), cond, "left_semi")
       .unionByName(delta)
       .groupBy(keys.map(col): _*).agg(
         sum(col("n_rows")).as("n_rows"),

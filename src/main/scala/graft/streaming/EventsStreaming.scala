@@ -138,7 +138,13 @@ object EventsStreaming {
             pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
         val delta = bucketed(
           graft.ops.IncrementalAgg.statsOf(batch, keys, valueCol))
-        if (!new java.io.File(statsDir).exists())
+        // existence probe through the path's own FileSystem (HDFS/S3A/
+        // local) — java.io.File is always false on a remote statsDir,
+        // which would silently re-write the table non-merged every batch
+        val statsPath = new org.apache.hadoop.fs.Path(statsDir)
+        val statsFs = statsPath.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!statsFs.exists(statsPath))
           delta.write.partitionBy("__bucket").parquet(statsDir)
         else {
           // bounded driver-side list (≤ nBuckets) drives partition

@@ -219,18 +219,19 @@ object CompletenessQueries {
     // its native inequality join.
     QueryDef("q39_range_join",
       // per-event output: the bucket join clusters by time bucket, so the
-      // count-per-event regroup needs its own exchange — make it the
-      // range partition the final order needs (agg runs exchange-free on
-      // it, sort comes out parallel; one exchange where hash + single-
-      // partition would have been two)
+      // count-per-event regroup needs its own exchange — let it be the
+      // HASH exchange of the groupBy (partial agg combines map-side, so
+      // only slim (event_id, count) rows shuffle, not raw pairs), then
+      // order the SMALL agg output with sortedPMat. A repartitionByRange
+      // directly on the join output samples its child and executes the
+      // whole rangeJoin twice (the q53 trap).
       (s, d) => graft.ops.TemporalJoins
         .rangeJoin(events(s, d), events(s, d), "ts", 300000000L,
           "event_id", "event_id")
         .filter(col("l_id") =!= col("r_id"))
-        .repartitionByRange(col("l_id"))
         .groupBy(col("l_id").as("event_id"))
         .agg(count(lit(1)).as("n_nearby"))
-        .sortWithinPartitions("event_id"),
+        .transform(QueryDef.sortedPMat(_, col("event_id"))),
       Some("""SELECT e1.event_id, COUNT(*) AS n_nearby
         FROM events e1 JOIN events e2
           ON epoch_us(CAST(e2.ts AS TIMESTAMP))

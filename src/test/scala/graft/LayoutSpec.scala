@@ -268,6 +268,92 @@ class LayoutSpec extends SparkSpec {
     assert(lake.observations.count() == 3)
   }
 
+  test("compactZOrder with 4 dims: encode stays inside ZOrderExpr's " +
+      "per-dim bit budget (no curve wrap)") {
+    import graft.lake.Lakehouse
+    import graft.schema.{Observation, Schemas}
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // 4 dims → 16 bits/dim in ZOrderExpr; a 20-bit encode would wrap
+    // (top 4 bits masked) and scramble the within-file order. With 3
+    // dims constant, the Morton order must be MONOTONE in the 4th.
+    val rnd = new scala.util.Random(23)
+    val rows = rnd.shuffle((0 until 32).toList).map { step =>
+      Observation("ds", "p0", s"i$step", "t1", "", "", "r1", "e1", step,
+        Some("op"), None, Some("x"), Some(1.0), Some(2.0), Some(3.0),
+        Some(ts), None, None, None, Some(false))
+    }
+    val wh = tmpDir("z4-wh")
+    val lake = new Lakehouse(spark, wh)
+    lake.append("observations", rows.toDF(), Schemas.observations)
+    lake.compactZOrder("observations", Schemas.observations,
+      Seq("step_id", "execution_time_ms", "memory_used_mb",
+        "branch_coverage_percent"))
+    val pDir = new java.io.File(
+      s"$wh/observations/data_set_id=ds/problem_id=p0")
+    val files = pDir.listFiles().filter(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.length == 1, "compaction must leave one file")
+    val order = spark.read.parquet(files.head.getPath)
+      .select("step_id").collect().map(_.getInt(0)).toSeq
+    assert(order == order.sorted,
+      s"z-order over 4 dims must be monotone in the only varying dim, " +
+        s"got $order")
+  }
+
+  test("Lakehouse.deleteWhere: full-partition delete with characters " +
+      "Spark escape-encodes in the directory name") {
+    import graft.lake.Lakehouse
+    import graft.schema.{Observation, Schemas}
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def o(p: String, impl: String) =
+      Observation("ds", p, impl, "t1", "", "", "r1", "e1", 0,
+        Some("op"), None, Some("x"), Some(1.0), None, None, Some(ts),
+        None, None, None, Some(false))
+    // ':' and ' ' are escape-encoded in partition dir names — a raw
+    // "$c=$v" path misses the real directory and the delete silently
+    // leaves the rows behind (the pre-fix failure mode)
+    val rows = Seq(o("p:1 x", "a"), o("p0", "b"))
+    val wh = tmpDir("del-esc-wh")
+    val lake = new Lakehouse(spark, wh)
+    lake.append("observations", rows.toDF(), Schemas.observations)
+    lake.deleteWhere("observations", Schemas.observations,
+      col("problem_id") === "p:1 x")
+    val back = lake.observations.select("problem_id", "implementation_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("p0", "b")),
+      "rows of the escaped partition must not reappear after DELETE")
+    val dirs = new java.io.File(s"$wh/observations/data_set_id=ds")
+      .list().toSet
+    assert(dirs == Set("problem_id=p0"),
+      s"escaped partition dir must be removed, found $dirs")
+  }
+
+  test("IncrementalAgg.merge: NULL-keyed group merges once (null-safe " +
+      "touched/untouched split)") {
+    import graft.ops.IncrementalAgg
+    // groupBy keeps NULL as a real group; a plain '=' join split would
+    // leave prev's NULL row in 'untouched' AND re-emit the delta's,
+    // duplicating the group
+    val prev = Seq((Some("g1"), 10.0), (None, 5.0), (None, 7.0))
+      .toDF("g", "v")
+    val delta = Seq((Some("g1"), 1.0), (None, 2.0)).toDF("g", "v")
+    val keys = Seq("g")
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.statsOf(prev, keys, "v"),
+      IncrementalAgg.statsOf(delta, keys, "v"), keys)
+    val full = IncrementalAgg.statsOf(prev.union(delta), keys, "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getDecimal(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(merged.count() == 2, "NULL group must appear exactly once")
+    assert(canon(merged) == canon(full))
+    // distinct-sketch variant takes the same split
+    val mergedD = IncrementalAgg.mergeWithDistinct(
+      IncrementalAgg.statsOfWithDistinct(prev, keys, "v", "g"),
+      IncrementalAgg.statsOfWithDistinct(delta, keys, "v", "g"), keys)
+    assert(mergedD.count() == 2)
+  }
+
   test("IncrementalAgg sketch state: merged distinct estimate == " +
       "one-shot estimate, any merge order") {
     import graft.ops.IncrementalAgg

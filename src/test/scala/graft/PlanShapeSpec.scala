@@ -115,6 +115,37 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("no range-partition exchange samples a join (double-execution)") {
+    // repartitionByRange's RangePartitioner SAMPLES its child, so any
+    // join below a range exchange executes twice — the q53/q39 trap.
+    // The fix is QueryDef.sortedPMat (localCheckpoint first: the
+    // exchange then reads an ExistingRDD scan) or placing the range
+    // partition below the join. Queries where the only join under a
+    // range exchange broadcasts a 1-row scalar (replay ≈ the scan the
+    // sample pays anyway) are allowlisted explicitly.
+    val allowed = Set(
+      "q37_scalar_subquery", // broadcast 1-row scalar join
+      "q56_tfidf") // broadcast 1-row corpus-size aggregate
+    val skip = Set("q58_stream_ingest_stats") // side-effecting gate
+    graft.testqueries.Registry.all
+      .filterNot(q => skip(q.name) || allowed(q.name)).foreach { q =>
+        val plan = q.run(spark, sf).queryExecution.executedPlan
+        val offending = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical
+                .RangePartitioning] &&
+              e.child.collect {
+                case j if j.nodeName.contains("Join") => j
+              }.nonEmpty => e
+        }
+        assert(offending.isEmpty,
+          s"${q.name}: range-partition exchange would sample (and " +
+            s"re-execute) a join — use QueryDef.sortedPMat:\n$plan")
+      }
+  }
+
   test("interactive canonical path stays a single stage, zero exchanges") {
     // the zero-exchange claim covers SRM + clustering (+ the join, which
     // broadcasts its dims); per_problem_stats is NOT claimed — its
