@@ -189,15 +189,30 @@ object Dedup {
     * with `localCheckpoint` each round so the plan does not grow
     * exponentially across iterations (the standard Spark iterative-
     * algorithm discipline; GraphX does the same internally).
-    * Returns (id, group_id = min id in the component). */
+    * Returns (id, group_id = min id in the component).
+    *
+    * Size-gated hybrid, the broadcast-join-threshold philosophy:
+    * candidate pairs are a THRESHOLD-FILTERED list, tiny relative to
+    * the corpus, so when they fit `driverEdgeLimit` (integer ids only)
+    * the components come from a driver union-find in one collect —
+    * zero iterative jobs. Past the gate (or for non-integer ids) the
+    * distributed min-label loop below runs; both paths produce the
+    * identical (id, min-id) result (spec-asserted). The gate bounds
+    * driver memory at ~32 B/edge: 2M edges ≈ 64 MB. */
   def nearDupGroups(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverEdgeLimit: Long = 2000000L): DataFrame = {
     // materialize the candidate pairs ONCE: both union branches below
     // read them, and `pairs` is typically an expensive pipeline (LSH
     // banding) that would otherwise execute per branch (measured ~2x
     // the LSH cost on q65)
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .localCheckpoint(true)
+    val idType = p.schema("a").dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType ||
+      idType == org.apache.spark.sql.types.ShortType
+    if (integral && p.count() <= driverEdgeLimit)
+      return localComponents(p, idType)
     // undirected edge list, both directions
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
@@ -207,49 +222,87 @@ object Dedup {
       .distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    var prevSum: java.math.BigDecimal = null
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // each node's new label: min over (own label, neighbors' labels)
-      val stepped = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+    while (changed && iter < maxIter) {
+      // ONE join + one agg per round. Pointer halving (path
+      // compression — adopt the label OF the current label, so the
+      // walk to the component minimum doubles its stride each round
+      // and converges in O(log diameter), not O(diameter)) is FUSED
+      // into the neighbor-min lookup: labels are node ids, so the
+      // pointer hop `label(label(id))` is just the neighbor-min over
+      // an extra edge (id → current label), and the union feeds the
+      // same shuffle write — no extra stage. No own-label re-join
+      // either: that pointer edge contributes `label(label(id)) ≤
+      // label(id)`, so the neighbor-min alone is non-increasing.
+      val augEdges = edges.union(
+        labels.select(col("id").as("src"), col("label").as("dst")))
+      val next = augEdges
+        .join(labels.select(col("id").as("dst"),
+          col("label").as("dst_label")), Seq("dst"))
         .groupBy(col("src").as("id"))
-        .agg(min(col("dst_label")).as("nbr_label"))
-        .join(labels, Seq("id"))
-        .select(col("id"),
-          least(col("label"), col("nbr_label")).as("label"))
-      // pointer halving (path compression): also adopt the label OF the
-      // current label — labels are node ids, so one self-join jumps a
-      // hop. Neighbor-min alone needs O(component diameter) rounds; the
-      // compressed walk converges in O(log diameter), which is what
-      // bounds maxIter for the adversarial deep-chain corpus at scale.
-      val ptr = stepped.select(col("id").as("jid"),
-        col("label").as("jlabel"))
-      val next = stepped
-        .join(ptr, col("label") === col("jid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("jlabel"), col("label")))
-            .as("label"))
-        .join(labels.withColumnRenamed("label", "old_label"), Seq("id"))
-        .select(col("id"), col("label"),
-          (col("label") < col("old_label")).as("__changed"))
-        .localCheckpoint(true)
-      changed = next.filter(col("__changed")).count()
-      labels = next.drop("__changed")
+        .agg(min(col("dst_label")).as("label"))
+        // LAZY checkpoint: the convergence probe below materializes
+        // it, so lineage-cut + convergence check are ONE action per
+        // round (eager checkpoint + separate count was two)
+        .localCheckpoint(false)
+      // per-node labels are non-increasing, so the label SUM strictly
+      // decreases until fixpoint — convergence reads off a 1-row
+      // exact-decimal aggregate of the frame the checkpoint action
+      // materializes anyway (no changed-flag join, no second action)
+      val s = Option(next
+        .agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+      changed = prevSum == null || s.compareTo(prevSum) != 0
+      prevSum = s
+      labels = next
       iter += 1
     }
-    if (changed > 0) {
+    if (changed) {
       // Exiting at maxIter without a fixpoint means chain-shaped
       // components deeper than maxIter hops are still split — callers
       // would silently keep several representatives of one dup cluster.
       // Fail loudly; the caller chooses whether to raise maxIter.
       throw new IllegalStateException(
         s"nearDupGroups did not converge after $maxIter iterations " +
-          s"($changed labels still changing); raise maxIter — rounds " +
-          "needed = max component diameter, which this graph exceeds")
+          "(labels still changing); raise maxIter — rounds needed ≈ " +
+          "log2(max component diameter), which this graph exceeds")
     }
     labels.withColumnRenamed("label", "group_id")
+  }
+
+  /** Driver union-find over a collected (a, b) edge list — the
+    * below-the-gate branch of [[nearDupGroups]]. Union-by-minimum
+    * (the smaller root becomes parent) + full path compression, so a
+    * component's root IS its minimum id; near-linear in edges. */
+  private def localComponents(p: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val es = p.select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression: repoint the walked chain at r
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2))
+      .toArray.distinct
+    nodes.map(n => (n, find(n))).toSeq.toDF("id", "group_id")
+      .select(col("id").cast(idType).as("id"),
+        col("group_id").cast(idType).as("group_id"))
   }
 
   /** Materialized near-dup removal: keep one representative (the

@@ -208,6 +208,12 @@ class OpsSpec extends SparkSpec {
     val groups = Dedup.nearDupGroups(pairs, "a_id", "b_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // gate-forced distributed path must agree with the driver
+    // union-find exactly
+    val dist = Dedup.nearDupGroups(pairs, "a_id", "b_id",
+        driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == groups)
     val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
       .collect().map(_.getLong(0)).sorted.toSeq
@@ -221,7 +227,8 @@ class OpsSpec extends SparkSpec {
     // one dup cluster, so the operator must throw instead
     val chain = (1L until 6L).map(i => (i + 1, i)).toDF("a_id", "b_id")
     val err = intercept[IllegalStateException] {
-      Dedup.nearDupGroups(chain, "a_id", "b_id", maxIter = 2).collect()
+      Dedup.nearDupGroups(chain, "a_id", "b_id", maxIter = 2,
+        driverEdgeLimit = 0).collect()
     }
     assert(err.getMessage.contains("did not converge"))
     // and the same graph converges fine with the default budget
@@ -235,9 +242,43 @@ class OpsSpec extends SparkSpec {
     // plain min-label propagation needs O(diameter) = 100 rounds here,
     // far past maxIter = 20; the compressed walk needs O(log 100)
     val chain = (1L until 101L).map(i => (i + 1, i)).toDF("a_id", "b_id")
-    val groups = Dedup.nearDupGroups(chain, "a_id", "b_id")
+    val groups = Dedup.nearDupGroups(chain, "a_id", "b_id",
+        driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(groups.size == 101 && groups.values.toSet == Set(1L))
+  }
+
+  test("near-dup groups: one action per CC round (fused halving, " +
+      "lazy-checkpoint convergence probe)") {
+    // each round must cost ONE action — the label-sum convergence
+    // probe, which also materializes the round's lazy localCheckpoint
+    // — and ONE join + one agg of plan. A separate halving self-join,
+    // an own-label re-join, or an eager checkpoint + count pair all
+    // add scheduler jobs (AQE runs ~1 job per shuffle stage): the
+    // unfused r4 shape measured 44 jobs on this graph, the fused one
+    // 32. The bound sits between them to catch a regression to any
+    // of the unfused forms.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val chain = (1L until 9L).map(i => (i + 1, i)).toDF("a_id", "b_id")
+      .localCheckpoint(true) // input materialized before counting
+    spark.sparkContext.addSparkListener(listener)
+    val groups =
+      try {
+        val g = Dedup.nearDupGroups(chain, "a_id", "b_id",
+            driverEdgeLimit = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        Thread.sleep(1500) // drain the async listener bus
+        g
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(groups.size == 9 && groups.values.toSet == Set(1L))
+    assert(jobs.get <= 36,
+      s"per-round fusion regressed: ${jobs.get} jobs for an 8-chain " +
+        "(fused shape measures 32, the unfused r4 shape 44)")
   }
 
   test("near-dup groups: empty pair set is a no-op") {
