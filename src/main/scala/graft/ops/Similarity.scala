@@ -104,35 +104,92 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF centroids: deterministic seeding (the corpus rows whose id
+    * hashes lowest — akin to k-means||'s first round, reproducible
+    * with no RNG) followed by `lloydRounds` rounds of Lloyd's
+    * refinement: assign every vector to its nearest centroid
+    * (broadcast centroids, ONE corpus scan per round, map-side-
+    * combinable `min_by` argmax — no window over the corpus×centroid
+    * product), recompute each cell's element-wise mean, keep the old
+    * centroid for a cell that went empty. Hash-seeded cells are
+    * luck-of-the-draw Voronoi quality; 2–3 Lloyd rounds move
+    * centroids to the data's actual modes, which is what makes the
+    * nProbe/nCells probe fraction hold its recall (measured in
+    * `tools/AnnRecall`). Ties break deterministically (higher cosine,
+    * then lower cent_id). Returns (cent_id, cv: array<double>). */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, lloydRounds: Int = 2): DataFrame = {
+    var centroids = corpus
+      .withColumn("__h", Fns.portableHash60(col(idCol).cast("string")))
+      .orderBy("__h").limit(nCells)
+      .select(col(idCol).as("cent_id"),
+        transform(col(vecCol), _.cast("double")).as("cv"))
+      .localCheckpoint(true) // nCells rows; cut lineage per round
+    (0 until lloydRounds).foreach { _ =>
+      val assigned = assignCells(corpus, centroids, idCol, vecCol)
+      // element-wise mean per cell: posexplode → (cell, dim) partial
+      // avg (map-side combine keeps the shuffle at |corpus|·dims slim
+      // rows) → rebuild the vector in dim order
+      val means = assigned
+        .select(col("cell").as("cent_id"),
+          posexplode(transform(col(vecCol), _.cast("double")))
+            .as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cent_id")
+        .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+        .select(col("cent_id"),
+          transform(array_sort(col("pm")), _.getField("m")).as("cv"))
+      centroids = centroids.select(col("cent_id"), col("cv").as("old_cv"))
+        .join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("cv"), col("old_cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: broadcast the centroid set, one
+    * corpus scan, argmax cosine via `min_by` over (-sim, cent_id) —
+    * partial-aggregates map-side, so the exchange carries one slim row
+    * per vector id instead of windowing the corpus×centroid product.
+    * Returns the input columns plus `cell`. */
+  def assignCells(df: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val scored = df.join(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col("cent_id"),
+        Fns.cosine(col(vecCol), col("cv")).as("__sim"))
+    scored.groupBy(idCol)
+      .agg(
+        min_by(col("cent_id"), struct(negate(col("__sim")), col("cent_id")))
+          .as("cell"),
+        first(col(vecCol)).as(vecCol))
+  }
+
   /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells
-    * around deterministically-chosen centroid vectors (the corpus rows
-    * whose id hashes lowest — a seeding akin to k-means||'s first round,
-    * reproducible with no RNG), then answer queries by probing the
-    * `nProbe` nearest cells only. At 100 TB the cell assignment is a
-    * broadcast-join scan and each query touches nProbe/nCells of the
-    * corpus. Returns (q_id, c_id, sim, rank).
+    * around [[ivfCentroids]] (deterministic seed + Lloyd refinement),
+    * then answer queries by probing the `nProbe` nearest cells only.
+    * At 100 TB the cell assignment is a broadcast-join scan and each
+    * query touches nProbe/nCells of the corpus. Returns
+    * (q_id, c_id, sim, rank).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val centroids = corpus
-      .withColumn("__h", Fns.portableHash60(col(idCol).cast("string")))
-      .orderBy("__h").limit(nCells)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
-    // cell assignment: argmax cosine over the broadcast centroid set
-    def assign(df: DataFrame, id: String, vec: String, keep: Seq[String]) =
-      df.join(broadcast(centroids))
-        .select((keep.map(col) :+ col("cent_id") :+
-          Fns.cosine(col(vec), col("cv")).as("__sim")): _*)
-        .withColumn("__rn", row_number().over(Window.partitionBy(id)
-          .orderBy(desc("__sim"), col("cent_id"))))
-    val cells = assign(corpus, idCol, vecCol,
-      corpus.columns.toSeq).filter(col("__rn") === 1)
-      .drop("__sim", "__rn").withColumnRenamed("cent_id", "cell")
-    val qcells = assign(
-      queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")),
-      "q_id", "qv", Seq("q_id", "qv")).filter(col("__rn") <= nProbe)
-      .drop("__sim", "__rn").withColumnRenamed("cent_id", "cell")
+      nProbe: Int = 4, lloydRounds: Int = 2): DataFrame = {
+    val centroids =
+      ivfCentroids(corpus, idCol, vecCol, nCells, lloydRounds)
+        .localCheckpoint(true) // reused by both assignments below
+    val cells = assignCells(corpus, centroids, idCol, vecCol)
+    // query side: top-nProbe cells per query — the window stays here,
+    // where the input is queries×centroids (small by construction)
+    val qcells = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .join(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"),
+        Fns.cosine(col("qv"), col("cv")).as("__sim"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("__sim"), col("cell"))))
+      .filter(col("__rn") <= nProbe)
+      .drop("__sim", "__rn")
     cells.join(broadcast(qcells), Seq("cell"))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("c_id"),
