@@ -334,4 +334,60 @@ object Dedup {
       .withColumn("__barrier", monotonically_increasing_id())
       .filter(col("sim") >= threshold)
       .drop("__barrier")
+
+  /** SemDeDup-style semantic deduplication (embedding clustering →
+    * intra-cluster pairwise cosine → keep each duplicate group's
+    * centroid-NEAREST member): composes [[graft.ops.Similarity
+    * .ivfCentroids]] cell structure, [[embeddingNearDup]] blocking
+    * (pairwise work bounded per cell — never corpus²), and
+    * [[nearDupGroups]] transitive closure. The keep rule prefers the
+    * most prototypical member (highest cosine to its cell centroid,
+    * ties to the lowest id), unlike [[dropNearDuplicates]]'s min-id
+    * rule. Assignment + keep decisions compare ROUNDED (6 dp) cosines
+    * so the argmax is reproducible across engines (the q25/q26
+    * discipline). Returns (id, cell, cent_sim, group_id, kept).
+    *
+    * With `lloydRounds = 0` every centroid is an exact corpus row and
+    * the whole pipeline is deterministic cross-engine (oracle q74);
+    * refined centroids (distributed float means) are run-stable but
+    * not bit-portable, so they stay out of the oracle path. */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double, lloydRounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = (c: org.apache.spark.sql.Column) =>
+      transform(c, _.cast("double"))
+    val centroids = graft.ops.Similarity
+      .ivfCentroids(vecs, idCol, vecCol, nCells, lloydRounds)
+      .select(col("cent_id"), col("cv"),
+        sqrt(Fns.dotProduct(col("cv"), col("cv"))).as("__cnorm"))
+    val scored = vecs
+      .select(col(idCol), dd(col(vecCol)).as("__ed"),
+        sqrt(Fns.dotProduct(dd(col(vecCol)), dd(col(vecCol))))
+          .as("__norm"))
+      .join(broadcast(centroids))
+      .select(col(idCol), col("__ed"), col("cent_id"),
+        round(Fns.dotProduct(col("__ed"), col("cv"))
+          / (col("__norm") * col("__cnorm")), 6).as("__csim"))
+    // argmax centroid per vector: map-side-combinable min_by, ties to
+    // the lower cent_id
+    val cells = scored.groupBy(idCol)
+      .agg(
+        min_by(struct(col("cent_id"), col("__csim")),
+          struct(negate(col("__csim")), col("cent_id"))).as("__best"),
+        first(col("__ed")).as("__ed"))
+      .select(col(idCol), col("__best.cent_id").as("cell"),
+        col("__best.__csim").as("cent_sim"), col("__ed"))
+    val pairs = embeddingNearDup(
+      cells.select(col(idCol), col("cell"), col("__ed").as(vecCol)),
+      idCol, vecCol, "cell", threshold)
+    val groups = nearDupGroups(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", idCol)
+    cells.join(groups, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
+      .withColumn("kept", row_number().over(
+        Window.partitionBy("group_id")
+          .orderBy(desc("cent_sim"), col(idCol))) === 1)
+      .select(col(idCol), col("cell"), col("cent_sim"),
+        col("group_id"), col("kept"))
+  }
 }

@@ -581,6 +581,62 @@ object TextDedupQueries {
         FROM b, UNNEST(range(1, len(ws) - 2)) t(i))
       SELECT shc.doc_id, count(DISTINCT s) AS n_shared
       FROM shc JOIN shb USING (s)
-      GROUP BY shc.doc_id ORDER BY shc.doc_id"""))
+      GROUP BY shc.doc_id ORDER BY shc.doc_id""")),
+
+    // SemDeDup-style semantic dedup (ops/Dedup.semanticDedup): IVF cell
+    // structure → intra-cell pairwise cosine → transitive closure →
+    // keep each group's centroid-NEAREST member. lloydRounds = 0 keeps
+    // every centroid an exact corpus row, so the whole pipeline is
+    // bit-reproducible in DuckDB (refined centroids are distributed
+    // float means — run-stable but not bit-portable; they are covered
+    // by ExtensionOpsSpec + tools/AnnRecall instead). The oracle
+    // replays seeding (hash-lowest ids), rounded-cosine argmax
+    // assignment, the pair threshold, and a WITH RECURSIVE min-label
+    // fixpoint.
+    QueryDef("q74_semantic_dedup",
+      (s, d) => graft.ops.Dedup.semanticDedup(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          nCells = 8, threshold = 0.3, lloydRounds = 0)
+        .transform(QueryDef.sortedP(_, col("vec_id"))),
+      Some("""WITH RECURSIVE v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      seeds AS (
+        SELECT vec_id AS cent_id, e AS cv FROM v
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+          ::BIGINT
+        LIMIT 8),
+      score AS (
+        SELECT v.vec_id, s.cent_id,
+          round(list_cosine_similarity(v.e, s.cv), 6) AS csim
+        FROM v, seeds s),
+      cells AS (
+        SELECT vec_id, cent_id AS cell, csim AS cent_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cent_id) AS rn FROM score)
+        WHERE rn = 1),
+      cand AS (
+        SELECT cx.vec_id AS a_id, cy.vec_id AS b_id
+        FROM cells cx JOIN v x ON x.vec_id = cx.vec_id
+          JOIN cells cy ON cx.cell = cy.cell
+          JOIN v y ON y.vec_id = cy.vec_id
+        WHERE cx.vec_id < cy.vec_id
+          AND list_cosine_similarity(x.e, y.e) >= 0.3),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM cand
+        UNION SELECT b_id, a_id FROM cand),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e
+          ON e.src = reach.id),
+      lbl AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id),
+      gr AS (
+        SELECT c.vec_id, c.cell, c.cent_sim,
+          COALESCE(l.group_id, c.vec_id) AS group_id
+        FROM cells c LEFT JOIN lbl l ON c.vec_id = l.id)
+      SELECT vec_id, cell, cent_sim, group_id,
+        (row_number() OVER (PARTITION BY group_id
+          ORDER BY cent_sim DESC, vec_id)) = 1 AS kept
+      FROM gr ORDER BY vec_id"""))
   )
 }

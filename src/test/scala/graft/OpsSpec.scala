@@ -281,6 +281,31 @@ class OpsSpec extends SparkSpec {
         "(fused shape measures 32, the unfused r4 shape 44)")
   }
 
+  test("semantic dedup: tight clusters collapse to one kept member, " +
+      "the centroid-nearest one") {
+    val vecs = Seq(
+      (1L, Array(10f, 0f, 0f)), (2L, Array(9.8f, 0.5f, 0f)),
+      (3L, Array(9.9f, 0.2f, 0f)),
+      (4L, Array(0f, 10f, 0f)), (5L, Array(0.3f, 9.9f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        nCells = 2, threshold = 0.95, lloydRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4),
+        r.getDouble(2))).toSeq
+    // every intra-cluster pair clears 0.95, no cross-cluster pair does
+    // -> exactly two groups, one kept member each
+    val byGroup = out.groupBy(_._2)
+    assert(byGroup.size == 2)
+    assert(byGroup.values.map(_.map(_._1).toSet).toSet ==
+      Set(Set(1L, 2L, 3L), Set(4L, 5L)))
+    byGroup.values.foreach { members =>
+      val kept = members.filter(_._3)
+      assert(kept.size == 1, "exactly one kept member per group")
+      // the keep rule: highest cosine to the cell centroid
+      assert(kept.head._4 == members.map(_._4).max)
+    }
+  }
+
   test("near-dup groups: empty pair set is a no-op") {
     val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.nearDupGroups(noPairs, "a_id", "b_id").count() == 0)
