@@ -108,5 +108,55 @@ object LayoutQueries {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
         min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
         FROM orders GROUP BY o_orderstatus, o_orderpriority
-        ORDER BY o_orderstatus, o_orderpriority""")))
+        ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // Additive schema evolution under the oracle gate (the reference's
+    // evolve_*_schema, lakehouse.py:281-336): era-1 rows are written
+    // WITHOUT column w, the schema evolves, era-2 rows carry it, and
+    // the evolved read must surface era-1 rows with a typed NULL w —
+    // proven by n_w/min_w aggregating only era-2 values. The DuckDB
+    // mirror reproduces both eras from the same source table with a
+    // CASE standing in for the NULL-filled column. 1/5 of orders keeps
+    // the per-pass write cost benchable.
+    QueryDef("q75_schema_evolution",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val lake = new graft.lake.Lakehouse(s,
+          java.nio.file.Files.createTempDirectory("q75wh").toString)
+        val v1 = StructType(Seq(
+          StructField("data_set_id", StringType, nullable = false),
+          StructField("problem_id", StringType, nullable = false),
+          StructField("k", LongType, nullable = false),
+          StructField("v", DecimalType(15, 2), nullable = true)))
+        val v2 = lake.evolveSchema(v1,
+          StructField("w", StringType, nullable = true))
+        val o = orders(s, d).filter(col("o_orderkey") % 5 === 0)
+          .select(lit("era").as("data_set_id"),
+            concat(lit("p"), (col("o_custkey") % 5).cast("string"))
+              .as("problem_id"),
+            col("o_orderkey").as("k"),
+            col("o_totalprice").cast("decimal(15,2)").as("v"),
+            col("o_orderpriority").as("w"))
+        lake.append("evo", o.filter(col("k") % 10 === 0), v1)
+        lake.append("evo", o.filter(col("k") % 10 === 5), v2)
+        lake.loadEvolved("evo")
+          .groupBy("problem_id")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("w")).as("n_w"),
+            min(col("w")).as("min_w"),
+            sum(col("v")).cast("double").as("sum_v"),
+            max(col("k")).as("max_k"))
+          .orderBy("problem_id")
+      },
+      Some("""SELECT 'p' || CAST(o_custkey % 5 AS VARCHAR) AS problem_id,
+        COUNT(*) AS n_rows,
+        COUNT(CASE WHEN o_orderkey % 10 = 5 THEN o_orderpriority END)
+          AS n_w,
+        MIN(CASE WHEN o_orderkey % 10 = 5 THEN o_orderpriority END)
+          AS min_w,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+          AS sum_v,
+        MAX(o_orderkey) AS max_k
+      FROM orders WHERE o_orderkey % 5 = 0
+      GROUP BY 1 ORDER BY 1""")))
 }
