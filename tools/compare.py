@@ -6,7 +6,7 @@ compare row count, schema (column names sorted), and values exactly.
 
 Usage: compare.py <sfDir> <outDir>
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -31,8 +31,12 @@ def frame_sig(df):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata: single file; tools/ScaleUp output: a
+        # directory of part files under the same <table>.parquet name
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
