@@ -30,10 +30,15 @@ object CoreQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           lit("tpch").as("data_set_id"),
           lit(null).cast("string").as("git_commit_hash"))
-        .sortWithinPartitions("l_orderkey", "l_linenumber"),
+        // l_quantity tie-break: (l_orderkey, l_linenumber) is NOT unique
+        // in the corpus, so without it the row order within ties is
+        // engine-dependent (passed only by stable-read luck on
+        // single-file inputs; surfaced by the multi-file sf1 gate)
+        .sortWithinPartitions("l_orderkey", "l_linenumber", "l_quantity"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
         'tpch' AS data_set_id, CAST(NULL AS VARCHAR) AS git_commit_hash
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_quantity""")),
 
     // F1/F2/F3/F5: comparison, inequality, AND/OR, IS NOT NULL
     // (reference arena.py:96-98,172-174,186-187).
@@ -82,14 +87,19 @@ object CoreQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("o_orderpriority"), col("c_name"), col("c_mktsegment"),
           col("l_extendedprice"))
-        .sortWithinPartitions("l_orderkey", "l_linenumber"),
+        // l_extendedprice tie-break: (l_orderkey, l_linenumber) is not
+        // unique, and within a tie only l_extendedprice can differ (the
+        // order/customer columns are functionally determined by the
+        // orderkey) — without it tie order is engine-dependent (sf1)
+        .sortWithinPartitions("l_orderkey", "l_linenumber",
+          "l_extendedprice"),
       Some("""SELECT l_orderkey, l_linenumber, o_orderpriority, c_name,
         c_mktsegment, l_extendedprice
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         WHERE o_orderstatus <> 'X' AND c_acctbal > 0
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, l_extendedprice""")),
 
     // A1/A4/X8: multi-key hash aggregation with exact decimal arithmetic
     // (TPC-H Q1 shape; reference grouped-agg ingest arena.py:72-101).

@@ -25,9 +25,14 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts",
-      org.apache.spark.sql.functions
+    val df = t(s, dir, "events")
+    // Driver testdata stores TIMESTAMP(NANOS) (surfaces as long under
+    // nanosAsLong); tools/ScaleUp output already stores timestamp_ntz
+    // micros. Both converge on the same micro-truncated timestamp_ntz.
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions
         .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    else df
   }
   def documents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

@@ -40,8 +40,9 @@ object ScaleUp {
     val copyDf = spark.range(copies).withColumnRenamed("id", "copy")
 
     /** Replicate `table` x copies, offsetting each (column -> stride). */
-    def scale(table: String, offsets: Map[String, Long]): Unit = {
-      val src = spark.read.parquet(s"$srcDir/$table.parquet")
+    def scale(table: String, offsets: Map[String, Long],
+        xform: DataFrame => DataFrame = identity): Unit = {
+      val src = xform(spark.read.parquet(s"$srcDir/$table.parquet"))
       val scaled = offsets.foldLeft(src.crossJoin(broadcast(copyDf))) {
         case (df, (c, s)) => df.withColumn(c, col(c) + col("copy") * s)
       }.drop("copy")
@@ -58,6 +59,12 @@ object ScaleUp {
         .mode("overwrite").parquet(s"$dstDir/$table.parquet")
       println(s"[scaleup] $table verbatim")
     }
+
+    // events.ts is TIMESTAMP(NANOS), which the Spark 4 reader rejects:
+    // read nanos as long, and write back micro-truncated timestamp_ntz
+    // (the SAME truncation Tables.events and the DuckDB oracles apply,
+    // so query semantics are unchanged; Spark cannot write nanos).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val cust = spark.read.parquet(s"$srcDir/customer.parquet")
     val ord = spark.read.parquet(s"$srcDir/orders.parquet")
@@ -79,7 +86,9 @@ object ScaleUp {
     scale("orders", Map("o_orderkey" -> oK, "o_custkey" -> cK))
     scale("lineitem",
       Map("l_orderkey" -> oK, "l_partkey" -> pK, "l_suppkey" -> sK))
-    scale("events", Map("event_id" -> eK, "user_id" -> uK))
+    scale("events", Map("event_id" -> eK, "user_id" -> uK),
+      _.withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")))
     scale("documents", Map("doc_id" -> dK))
     scale("embeddings", Map("vec_id" -> vK))
     spark.stop()
