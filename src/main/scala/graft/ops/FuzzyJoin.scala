@@ -31,20 +31,43 @@ object FuzzyJoin {
   /** All pairs `(a_id < b_id)` sharing every `blockCols` value with
     * `levenshtein(strCol) ≤ maxDist` (1 or 2). Returns
     * `(a_id, b_id, a_val, b_val, dist)` — identical rows to
-    * [[editDistanceJoinBlocked]], spec-asserted. */
+    * [[editDistanceJoinBlocked]], spec-asserted.
+    *
+    * Exact-duplicate collapse first: the variant join runs once per
+    * DISTINCT (blocks, string) and id pairs are expanded afterwards
+    * through the multiplicity of each string. A duplication-heavy
+    * corpus (the realistic 100 TB case — and the sf1 gate's 10x
+    * replicated one) otherwise pays the join AND the Levenshtein
+    * refine per id pair instead of per distinct-string pair: d dup
+    * copies of a string inflate every variant bucket d-fold and every
+    * true pair d²-fold. Measured on the 10x-replicated sf1 customer
+    * table: 8.1s → per-distinct work identical to sf0.1's, with only
+    * the (irreducible, output-sized) expansion joins growing. */
   def editDistanceJoin(rows: DataFrame, idCol: String, strCol: String,
       maxDist: Int, blockCols: Seq[String]): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       "symmetric-delete join supports maxDist 1..2; use " +
         "editDistanceJoinBlocked beyond that")
+    val slim = rows.select(
+      (blockCols.map(col) :+ col(idCol) :+ col(strCol)): _*)
+    // __rk names a distinct (blocks, string) group; __bh the block.
+    // Hash collisions never corrupt results: every join below also
+    // matches on the string value itself, the hashes only slim the
+    // shuffle keys to fixed width (the dedup-stack discipline).
+    val rkExpr = xxhash64((blockCols.map(col) :+ col(strCol)): _*)
+    val members = slim.select(rkExpr.as("__rk"), col(idCol),
+      col(strCol))
+    val reps = slim.select(
+      (blockCols.map(col) :+ col(strCol)): _*).distinct()
+      .select((rkExpr.as("__rk") +:
+        xxhash64(blockCols.map(col): _*).as("__bh") +:
+        blockCols.map(col)) :+ col(strCol): _*)
     // d=1 generates variants WITHOUT a higher-order lambda (interpreted
     // per element — measured 0.35s of q73's budget): explode the
     // deletion POSITION, then one codegen'd substring/concat projection
     // (position 0 = the identity variant).
-    val slim = rows.select(
-      (blockCols.map(col) :+ col(idCol) :+ col(strCol)): _*)
     val exploded = maxDist match {
-      case 1 => slim
+      case 1 => reps
         .withColumn("__i",
           explode(sequence(lit(0), length(col(strCol)))))
         .withColumn("__v", expr(
@@ -52,40 +75,59 @@ object FuzzyJoin {
             s"concat(substring($strCol, 1, __i - 1), " +
             s"substring($strCol, __i + 1, length($strCol))) END"))
         .drop("__i")
-      case _ => slim
+      case _ => reps
         .withColumn("__v1", expr(delExpr(strCol)))
         .withColumn("__vars", array_distinct(expr(
           s"flatten(transform(__v1, s -> ${delExpr("s")}))")))
         .withColumn("__v", explode(col("__vars")))
         .drop("__v1", "__vars")
     }
-    // slim the shuffle to two 64-bit keys (the dedup-stack discipline:
-    // fixed-width hashed shuffle keys): k = hash(blocks, variant) is
-    // the candidate key, bh = hash(blocks) double-checks the block on
-    // the off chance k collides across blocks; the exact Levenshtein
-    // refine below clears any same-block variant-hash collision.
     val ex = exploded.select(
       xxhash64((blockCols.map(col) :+ col("__v")): _*).as("__k"),
-      xxhash64(blockCols.map(col): _*).as("__bh"),
-      col(idCol), col(strCol))
+      col("__bh"), col("__rk"), col(strCol))
     // shuffle_hash hint: without it the planner broadcasts the whole
     // exploded variant stream (measured ~1s of driver collect + build
     // at sf0.1); a shuffle join lets the self-join REUSE one exchange
-    // of the slim (k, bh, id, s) rows for both sides.
-    val cand = ex.as("x").join(ex.as("y").hint("shuffle_hash"),
+    // of the slim (k, bh, rk, s) rows for both sides.
+    // One Levenshtein per DISTINCT candidate pair — Catalyst pushes
+    // the <= maxDist refine into the join condition via the distinct.
+    val repPairs = ex.as("x").join(ex.as("y").hint("shuffle_hash"),
         col("x.__k") === col("y.__k") && col("x.__bh") === col("y.__bh")
-          && col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+          && col("x.__rk") < col("y.__rk"))
+      .select(col("x.__rk").as("__rka"), col("y.__rk").as("__rkb"),
         col(s"x.$strCol").as("a_val"), col(s"y.$strCol").as("b_val"))
       .distinct()
-    // Catalyst substitutes this predicate through the distinct into
-    // the JOIN condition — which is the RIGHT place: it runs once per
-    // (k, bh)-matched candidate row (a few per true pair) and shrinks
-    // the distinct's input; the projection re-evaluates the distance
-    // only for the surviving pairs.
-    cand
       .withColumn("dist", levenshtein(col("a_val"), col("b_val")))
       .filter(col("dist") <= maxDist)
+    // Expansion (output-sized, the irreducible part):
+    // (a) cross-string pairs — every member of string A x every member
+    //     of string B, ids normalized to a_id < b_id;
+    // (b) intra-string pairs — C(g, 2) id pairs per duplicated string,
+    //     dist 0 (empty when strings are unique per block).
+    val ma = members.select(col("__rk").as("__rka"),
+      col(idCol).as("__ida"), col(strCol).as("a_val"))
+    val mb = members.select(col("__rk").as("__rkb"),
+      col(idCol).as("__idb"), col(strCol).as("b_val"))
+    val cross = repPairs
+      .join(ma, Seq("__rka", "a_val"))
+      .join(mb, Seq("__rkb", "b_val"))
+      .select(
+        least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"),
+        when(col("__ida") < col("__idb"), col("a_val"))
+          .otherwise(col("b_val")).as("a_val"),
+        when(col("__ida") < col("__idb"), col("b_val"))
+          .otherwise(col("a_val")).as("b_val"),
+        col("dist"))
+    val intra = members.as("x")
+      .join(members.as("y").hint("shuffle_hash"),
+        col("x.__rk") === col("y.__rk")
+          && col(s"x.$strCol") === col(s"y.$strCol")
+          && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        col(s"x.$strCol").as("a_val"), col(s"y.$strCol").as("b_val"),
+        lit(0).as("dist"))
+    cross.unionByName(intra)
   }
 
   /** Naive blocked pairwise form: exact within blocks at any `maxDist`,

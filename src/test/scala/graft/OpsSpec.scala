@@ -139,8 +139,9 @@ class OpsSpec extends SparkSpec {
         s"b${rnd.nextInt(2)}")
     }.toDF("id", "s", "blk")
     def canon(df: org.apache.spark.sql.DataFrame) =
-      df.select("a_id", "b_id", "dist").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      df.select("a_id", "b_id", "a_val", "b_val", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getInt(4))).toSet
     Seq(1, 2).foreach { d =>
       val fast = canon(FuzzyJoin.editDistanceJoin(strs, "id", "s", d,
         Seq("blk")))
