@@ -106,8 +106,19 @@ object Bench {
     // the q58 entry above measures the declared stats QUERY only.
     val gateS = graft.testqueries.VectorEventQueries
       .streamGateMillis.get() / 1000.0
+    // Executed-scale evidence rides along: if a round produced an sf1
+    // bench artifact (tools/sf1_gate.sh -> bench_sf1.json), inline it
+    // so the round's single BENCH json also carries the 10x section —
+    // without making the per-round default run pay the sf1 wall time.
+    val sf1Path = java.nio.file.Paths.get("/root/repo/bench_sf1.json")
+    val sf1Json =
+      if (sfDir.endsWith("sf0.1") && java.nio.file.Files.exists(sf1Path))
+        "," + "\"sf1_artifact\":" +
+          new String(java.nio.file.Files.readAllBytes(sf1Path),
+            "UTF-8").trim
+      else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"q58_gate_s":$gateS,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"q58_gate_s":$gateS,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
     println(json)
     // Also persist to a file: the driver captures a bounded stdout tail,
     // and round 3's artifact lost q01-q04 + the total to that window.

@@ -35,6 +35,63 @@ object TemporalJoins {
       .select("l_id", "r_id", "l_us", "r_us")
   }
 
+  /** Aggregate range count: for each left row, the NUMBER of right rows
+    * with r.ts in [l.ts, l.ts + windowUs) — the aggregate form of
+    * [[rangeJoin]] + groupBy/count, without enumerating the pairs.
+    *
+    * The pair count is quadratic in event density (10x denser events =
+    * ~100x pairs; measured on the sf1 gate), so when the caller only
+    * needs counts, enumeration is the wrong primitive. Sweep form: every
+    * qualifying point for a left row at t in bucket b = floor(t/w) lies
+    * in bucket b (at us >= t) or b+1 (at us < t+w). Union right points
+    * (weight 1) with two zero-weight probes per left row, rank within
+    * each bucket by (us, probe-before-point), and read the two counts
+    * off a per-bucket running sum and total:
+    * n = (total_b - running(probe@t)) + running(probe@t+w).
+    * One hash exchange on the bucket + one window sort + the final
+    * per-left-id sum — O((|L|+|R|) log bucket) work regardless of how
+    * many pairs the window contains. Per-bucket skew is bounded by
+    * event density per window, same as [[rangeJoin]]'s buckets.
+    */
+  def rangeCount(left: DataFrame, right: DataFrame, tsCol: String,
+      windowUs: Long, lId: String): DataFrame = {
+    def us(df: DataFrame) =
+      expr(s"unix_micros(cast($tsCol as timestamp))")
+    val pts = right.select(us(right).as("us"))
+      .select((col("us") / windowUs).cast("long").as("bucket"),
+        col("us"), lit(1).as("is_point"), lit(1L).as("w"),
+        lit(null).cast("long").as("l_id"), lit(0).as("which"))
+    val lUs = left.select(col(lId).cast("long").as("l_id"),
+      us(left).as("us"))
+    val lowProbes = lUs.select(
+      (col("us") / windowUs).cast("long").as("bucket"), col("us"),
+      lit(0).as("is_point"), lit(0L).as("w"), col("l_id"),
+      lit(0).as("which"))
+    val highProbes = lUs.select(
+      ((col("us") / windowUs).cast("long") + 1).as("bucket"),
+      (col("us") + windowUs).as("us"),
+      lit(0).as("is_point"), lit(0L).as("w"), col("l_id"),
+      lit(1).as("which"))
+    // probes sort BEFORE points at equal us (is_point 0 < 1), so the
+    // running sum at a probe counts points with us strictly below it:
+    // inclusive [t, ...) via total-minus-running, exclusive [..., t+w)
+    // via running — boundary ties land on the correct side of both.
+    val ord = Window.partitionBy("bucket")
+      .orderBy(col("us"), col("is_point"), col("l_id"), col("which"))
+    val run = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    pts.unionByName(lowProbes).unionByName(highProbes)
+      .withColumn("running", sum(col("w")).over(run))
+      .withColumn("total",
+        sum(col("w")).over(Window.partitionBy("bucket")))
+      .filter(col("is_point") === 0)
+      .withColumn("contrib",
+        when(col("which") === 0, col("total") - col("running"))
+          .otherwise(col("running")))
+      .groupBy(col("l_id"))
+      .agg(sum(col("contrib")).as("n"))
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * right.ts <= left.ts on the same key. Union-window realization: tag
     * and union both sides, sort within key by (ts, side, id), carry the

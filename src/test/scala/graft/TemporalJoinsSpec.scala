@@ -23,6 +23,25 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (1L, 11L), (2L, 13L)))
   }
 
+  test("rangeCount == rangeJoin + groupBy count on a random dense " +
+      "corpus (sweep vs enumeration)") {
+    // dense timestamps with ties and bucket-boundary values: window =
+    // 1000us over a 20000us span, ts multiples of 250 force probes and
+    // points to collide exactly on bucket edges
+    val df = TestSpark.spark.range(400)
+      .selectExpr("id",
+        "timestamp_micros(cast(floor(rand(47) * 80) as long) * 250) " +
+          "as ts")
+      .localCheckpoint(true) // freeze the rand() draw for both sides
+    val sweep = TemporalJoins.rangeCount(df, df, "ts", 1000L, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val enum_ = TemporalJoins.rangeJoin(df, df, "ts", 1000L, "id", "id")
+      .groupBy("l_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sweep.size == 400) // self-inclusive: every event counted
+    assert(sweep == enum_)
+  }
+
   test("asOfJoin picks the latest prior row; none -> null match") {
     val left = Seq((100L, 7L, ts("2026-01-01 12:00:00")),
       (101L, 7L, ts("2026-01-01 09:00:00")),
