@@ -319,21 +319,67 @@ object Dedup {
 
   /** Embedding near-dup: pairwise cosine within blocking-key groups
     * (label, LSH bucket, IVF cell, ...) at `threshold`. The blocking
-    * column bounds the pairwise work per group. */
+    * column bounds the pairwise work per group.
+    *
+    * Exact-duplicate collapse (the FuzzyJoin discipline): the cosine
+    * runs once per DISTINCT (block, vector) pair and id pairs expand
+    * through each vector's multiplicity afterwards — d verbatim copies
+    * of a vector otherwise inflate the pairwise work d²-fold (the 10x
+    * replicated sf1 corpus pays ~100x). Distinct vectors are named by
+    * a 96-bit composite hash (xxhash64 + murmur3 over the block and
+    * array), never carried through the expansion joins; a full
+    * collision across both hashes would merge two distinct vectors
+    * (~2^-96 per pair — negligible at any corpus size). */
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame =
-    vecs.as("x").join(vecs.as("y"),  // blocked pairs; Catalyst picks the
-      // join strategy — callers broadcast the build side when it fits
+      blockCol: String, threshold: Double): DataFrame = {
+    val rk1 = xxhash64(col(blockCol), col(vecCol))
+    val rk2 = hash(col(vecCol))
+    val members = vecs.select(rk1.as("__rk"), rk2.as("__rk2"),
+      col(idCol))
+    val dist = vecs.select(col(blockCol), col(vecCol)).distinct()
+      .select(col(blockCol), col(vecCol), rk1.as("__rk"),
+        rk2.as("__rk2"))
+    val repPairs = dist.as("x").join(dist.as("y"),
         col(s"x.$blockCol") === col(s"y.$blockCol") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+          (col("x.__rk") < col("y.__rk") ||
+            (col("x.__rk") === col("y.__rk") &&
+              col("x.__rk2") < col("y.__rk2"))))
+      .select(col("x.__rk").as("__rka"), col("x.__rk2").as("__rka2"),
+        col("y.__rk").as("__rkb"), col("y.__rk2").as("__rkb2"),
         Fns.cosine(col(s"x.$vecCol"), col(s"y.$vecCol")).as("sim"))
       // nondeterministic barrier column: keeps the similarity predicate
-      // from being substituted into the join condition (it would run the
-      // full dot product per candidate pair, twice)
+      // from being substituted into the join condition (it would run
+      // the full dot product per candidate pair, twice)
       .withColumn("__barrier", monotonically_increasing_id())
       .filter(col("sim") >= threshold)
       .drop("__barrier")
+    val ma = members.select(col("__rk").as("__rka"),
+      col("__rk2").as("__rka2"), col(idCol).as("__ida"))
+    val mb = members.select(col("__rk").as("__rkb"),
+      col("__rk2").as("__rkb2"), col(idCol).as("__idb"))
+    val cross = repPairs
+      .join(ma, Seq("__rka", "__rka2"))
+      .join(mb, Seq("__rkb", "__rkb2"))
+      .select(least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"), col("sim"))
+    // intra-duplicate pairs: C(g, 2) per duplicated vector at the
+    // vector's self-cosine (subject to the same threshold, so an
+    // all-zero vector's NaN self-sim stays excluded as before)
+    val self = dist.select(col("__rk"), col("__rk2"),
+        Fns.cosine(col(vecCol), col(vecCol)).as("sim"))
+      .withColumn("__barrier", monotonically_increasing_id())
+      .filter(col("sim") >= threshold)
+      .drop("__barrier")
+    val intra = members.as("x").join(members.as("y"),
+        col("x.__rk") === col("y.__rk") &&
+          col("x.__rk2") === col("y.__rk2") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        col("x.__rk").as("__rk"), col("x.__rk2").as("__rk2"))
+      .join(self, Seq("__rk", "__rk2"))
+      .select(col("a_id"), col("b_id"), col("sim"))
+    cross.unionByName(intra)
+  }
 
   /** SemDeDup-style semantic deduplication (embedding clustering →
     * intra-cluster pairwise cosine → keep each duplicate group's

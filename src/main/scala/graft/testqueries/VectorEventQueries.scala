@@ -110,22 +110,53 @@ object VectorEventQueries {
     // at 100 TB), threshold 0.35.
     QueryDef("q26_embedding_neardup",
       (s, d) => {
-        // Precompute each vector's norm once (5k rows) instead of twice
-        // per pair (~200k pairs at sf0.1). sqrt(da)*sqrt(db) evaluation
-        // order matches Fns.cosine, so values stay bit-identical to the
-        // DuckDB oracle.
+        // Exact-duplicate collapse (the Dedup.embeddingNearDup /
+        // FuzzyJoin discipline): the rounded cosine runs once per
+        // DISTINCT (label, vector) pair — with the norm precomputed
+        // once per distinct vector — and id pairs expand through each
+        // vector's multiplicity. Float dot/multiply are commutative,
+        // so the per-distinct-pair value is bit-identical to the old
+        // per-id-pair one regardless of which side held the lower id.
         def dd(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
         val e = embeddings(s, d)
-          .select(col("label"), col("vec_id"), dd(col("embedding")).as("ed"),
+        val rkE = xxhash64(col("label"), col("embedding"))
+        val rk2E = hash(col("embedding"))
+        val members = e.select(rkE.as("rk"), rk2E.as("rk2"),
+          col("vec_id"))
+        val dist = e.select(col("label"), col("embedding")).distinct()
+          .select(col("label"), rkE.as("rk"), rk2E.as("rk2"),
+            dd(col("embedding")).as("ed"),
             sqrt(Fns.dotProduct(dd(col("embedding")), dd(col("embedding"))))
               .as("norm"))
-        e.as("x").join(broadcast(e.as("y")),
+        val repPairs = dist.as("x").join(broadcast(dist.as("y")),
             col("x.label") === col("y.label") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+              (col("x.rk") < col("y.rk") || (col("x.rk") === col("y.rk")
+                && col("x.rk2") < col("y.rk2"))))
+          .select(col("x.rk").as("rka"), col("x.rk2").as("rka2"),
+            col("y.rk").as("rkb"), col("y.rk2").as("rkb2"),
             round(Fns.dotProduct(col("x.ed"), col("y.ed"))
               / (col("x.norm") * col("y.norm")), 6).as("sim"))
           .transform(QueryDef.filterAbove(_, col("sim") >= 0.35))
+        val cross = repPairs
+          .join(members.select(col("rk").as("rka"), col("rk2").as("rka2"),
+            col("vec_id").as("ida")), Seq("rka", "rka2"))
+          .join(members.select(col("rk").as("rkb"), col("rk2").as("rkb2"),
+            col("vec_id").as("idb")), Seq("rkb", "rkb2"))
+          .select(least(col("ida"), col("idb")).as("a_id"),
+            greatest(col("ida"), col("idb")).as("b_id"), col("sim"))
+        val self = dist
+          .select(col("rk"), col("rk2"),
+            round(Fns.dotProduct(col("ed"), col("ed"))
+              / (col("norm") * col("norm")), 6).as("sim"))
+          .transform(QueryDef.filterAbove(_, col("sim") >= 0.35))
+        val intra = members.as("x").join(members.as("y"),
+            col("x.rk") === col("y.rk") && col("x.rk2") === col("y.rk2")
+              && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+            col("x.rk").as("rk"), col("x.rk2").as("rk2"))
+          .join(self, Seq("rk", "rk2"))
+          .select(col("a_id"), col("b_id"), col("sim"))
+        cross.unionByName(intra)
           .transform(QueryDef.sorted1(_, col("a_id"), col("b_id")))
       },
       Some("""SELECT x.vec_id AS a_id, y.vec_id AS b_id,

@@ -82,16 +82,22 @@ class OpsSpec extends SparkSpec {
       .count() == 0)
   }
 
-  test("embedding near-dup within blocks") {
+  test("embedding near-dup within blocks (incl. exact duplicates)") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0.01f, 0f), 0),
-      (3L, Array(0f, 1f, 0f), 0), (4L, Array(1f, 0f, 0f), 1))
+      (3L, Array(0f, 1f, 0f), 0), (4L, Array(1f, 0f, 0f), 1),
+      (5L, Array(1f, 0f, 0f), 0)) // exact duplicate of 1 in block 0
       .toDF("vec_id", "embedding", "label")
     val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
       "label", 0.95).collect()
-    assert(out.length == 1) // (1,2); (1,4) blocked apart, (1,3) orthogonal
-    assert(out.head.getAs[Long]("a_id") == 1L &&
-      out.head.getAs[Long]("b_id") == 2L)
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // (1,2) near; (1,5) identical -> intra pair; (2,5) near via the
+    // duplicate's expansion; (1,4) blocked apart; (1,3) orthogonal
+    assert(out == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    val intraSim = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      "label", 0.95).filter("a_id = 1 and b_id = 5")
+      .head().getAs[Double]("sim")
+    assert(math.abs(intraSim - 1.0) < 1e-9)
   }
 
   test("int8 quantization preserves cosine within rounding error") {
