@@ -110,13 +110,20 @@ object Bench {
     // bench artifact (tools/sf1_gate.sh -> bench_sf1.json), inline it
     // so the round's single BENCH json also carries the 10x section —
     // without making the per-round default run pay the sf1 wall time.
-    val sf1Path = java.nio.file.Paths.get("/root/repo/bench_sf1.json")
+    // Resolved relative to the working directory (not a hardcoded
+    // machine path), and stamped with the artifact's mtime so a stale
+    // file from an earlier round is visibly dated, never silently
+    // presented as this round's evidence.
+    val sf1Path = java.nio.file.Paths.get("bench_sf1.json")
+      .toAbsolutePath
     val sf1Json =
-      if (sfDir.endsWith("sf0.1") && java.nio.file.Files.exists(sf1Path))
-        "," + "\"sf1_artifact\":" +
+      if (sfDir.endsWith("sf0.1") && java.nio.file.Files.exists(sf1Path)) {
+        val mtime = java.nio.file.Files.getLastModifiedTime(sf1Path)
+        ",\"sf1_artifact_mtime\":\"" + mtime.toString + "\"," +
+          "\"sf1_artifact\":" +
           new String(java.nio.file.Files.readAllBytes(sf1Path),
             "UTF-8").trim
-      else ""
+      } else ""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"q58_gate_s":$gateS,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
     println(json)
@@ -124,7 +131,7 @@ object Bench {
     // and round 3's artifact lost q01-q04 + the total to that window.
     // The file is the durable copy regardless of how stdout is captured.
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/bench_last.json"),
+      java.nio.file.Paths.get("bench_last.json").toAbsolutePath,
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout already has it
     spark.stop()

@@ -80,25 +80,76 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs: `bands` bands of `rowsPerBand` hashes;
     * pairs sharing any band bucket, with estimated Jaccard = matching
-    * minhash fraction. Returns (a_id, b_id, est_sim). */
+    * minhash fraction. Returns (a_id, b_id, est_sim).
+    *
+    * Exact-duplicate collapse (the FuzzyJoin/[[embeddingNearDup]]
+    * discipline): banding and the band-bucket self-join run once per
+    * DISTINCT signature and id pairs expand through each signature's
+    * multiplicity afterwards. d verbatim copies of a document share an
+    * identical signature, so the per-id form inflates every band
+    * bucket d-fold and the self-join d²-fold (measured 3.3x wall on
+    * the 10x-replicated sf1 corpus); per-distinct, join work is
+    * independent of the corpus duplication factor and only the
+    * (output-sized) expansion grows. Distinct signatures are named by
+    * a 96-bit composite hash (xxhash64 + murmur3 over the sig array)
+    * so the 16-element arrays never ride through the pair distinct or
+    * the expansion joins; the candidate ordering tie-breaks equal
+    * xxhash64 on the second hash, so a 64-bit collision between two
+    * distinct signatures still yields their pair exactly once
+    * (~2^-96 full-collision odds per pair — negligible). Identical
+    * signatures agree on every minhash, so intra-group pairs carry
+    * est_sim = 1.0 by construction. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // signatures are the expensive subtree (shingle explode + wide
+    // min-agg) and feed several consumers below (distinct reps + the
+    // member expansion sides); one lazy local checkpoint materializes
+    // them once per query instead of once per consumer
     val sig = minhashSig(docs, idCol, textCol, numHashes)
-    val banded = sig
+      .localCheckpoint(false)
+    val rk1 = xxhash64(col("sig"))
+    val rk2 = hash(col("sig"))
+    val members = sig.select(rk1.as("__rk"), rk2.as("__rk2"), col("id"))
+    val dist = sig.select(col("sig")).distinct()
+      .select(col("sig"), rk1.as("__rk"), rk2.as("__rk2"))
+    val banded = dist
       .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
-      .select(col("id"), col("sig"), col("b"),
+      .select(col("__rk"), col("__rk2"), col("sig"), col("b"),
         md5(array_join(slice(col("sig"), col("b") * rowsPerBand + 1,
           lit(rowsPerBand)), ",")).as("bh"))
-    banded.as("x").join(banded.as("y"),
+    // est_sim is projected BEFORE the distinct, so the dedup shuffle
+    // carries four longs + a double, never the signature arrays; it is
+    // a pure function of the pair, so distinct-over-5-cols == distinct
+    // pairs (at most `bands` redundant evaluations per pair)
+    val repPairs = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
+          (col("x.__rk") < col("y.__rk") ||
+            (col("x.__rk") === col("y.__rk") &&
+              col("x.__rk2") < col("y.__rk2"))))
+      .select(col("x.__rk").as("__rka"), col("x.__rk2").as("__rka2"),
+        col("y.__rk").as("__rkb"), col("y.__rk2").as("__rkb2"),
+        (size(filter(zip_with(col("x.sig"), col("y.sig"),
+          (a, b) => a === b), m => m)).cast("double") / numHashes)
+          .as("est_sim"))
+      .distinct()
+    val ma = members.select(col("__rk").as("__rka"),
+      col("__rk2").as("__rka2"), col("id").as("__ida"))
+    val mb = members.select(col("__rk").as("__rkb"),
+      col("__rk2").as("__rkb2"), col("id").as("__idb"))
+    val cross = repPairs
+      .join(ma, Seq("__rka", "__rka2"))
+      .join(mb, Seq("__rkb", "__rkb2"))
+      .select(least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"),
+        col("est_sim"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.__rk") === col("y.__rk") &&
+          col("x.__rk2") === col("y.__rk2") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        col("x.sig").as("sa"), col("y.sig").as("sb"))
-      .distinct()
-      .select(col("a_id"), col("b_id"),
-        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes).as("est_sim"))
+        lit(1.0).as("est_sim"))
+    cross.unionByName(intra)
   }
 
   /** SimHash signatures (id, simhash): `bits`-bit signature from per-word
@@ -198,7 +249,10 @@ object Dedup {
     * zero iterative jobs. Past the gate (or for non-integer ids) the
     * distributed min-label loop below runs; both paths produce the
     * identical (id, min-id) result (spec-asserted). The gate bounds
-    * driver memory at ~32 B/edge: 2M edges ≈ 64 MB. */
+    * driver memory at roughly 50-100 B/edge (specialized long-pair
+    * tuples via the typed collect, plus the transient distinct-node
+    * array): 2M edges ≈ low hundreds of MB — size driverEdgeLimit to
+    * the driver heap, not to the corpus. */
   def nearDupGroups(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, driverEdgeLimit: Long = 2000000L): DataFrame = {
     // materialize the candidate pairs ONCE: both union branches below
@@ -280,8 +334,11 @@ object Dedup {
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = p.sparkSession
     import spark.implicits._
+    // typed collect: primitive-specialized (Long, Long) tuples land on
+    // the driver directly — a Row collect would materialize boxed
+    // values plus a second tuple array, ~10x the transient footprint
     val es = p.select(col("a").cast("long"), col("b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x

@@ -52,8 +52,11 @@ object FuzzyJoin {
       (blockCols.map(col) :+ col(idCol) :+ col(strCol)): _*)
     // __rk names a distinct (blocks, string) group; __bh the block.
     // Hash collisions never corrupt results: every join below also
-    // matches on the string value itself, the hashes only slim the
-    // shuffle keys to fixed width (the dedup-stack discipline).
+    // matches on the string value itself (the candidate pair ordering
+    // tie-breaks equal __rk on the string, so even a 64-bit __rk
+    // collision between two distinct groups yields their pair exactly
+    // once) — the hashes only slim the shuffle keys to fixed width
+    // (the dedup-stack discipline).
     val rkExpr = xxhash64((blockCols.map(col) :+ col(strCol)): _*)
     val members = slim.select(rkExpr.as("__rk"), col(idCol),
       col(strCol))
@@ -93,7 +96,9 @@ object FuzzyJoin {
     // the <= maxDist refine into the join condition via the distinct.
     val repPairs = ex.as("x").join(ex.as("y").hint("shuffle_hash"),
         col("x.__k") === col("y.__k") && col("x.__bh") === col("y.__bh")
-          && col("x.__rk") < col("y.__rk"))
+          && (col("x.__rk") < col("y.__rk") ||
+            (col("x.__rk") === col("y.__rk") &&
+              col(s"x.$strCol") < col(s"y.$strCol"))))
       .select(col("x.__rk").as("__rka"), col("y.__rk").as("__rkb"),
         col(s"x.$strCol").as("a_val"), col(s"y.$strCol").as("b_val"))
       .distinct()

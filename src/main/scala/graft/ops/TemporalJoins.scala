@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** Floor-division bucket: floor(us / w), exact for negative epoch
+    * micros. A plain `(us / w).cast("long")` truncates toward zero, so
+    * bucket 0 would span (-w, w) and pre-1970 timestamps land in the
+    * wrong bucket — harmless under [[rangeJoin]]'s exact post-filter,
+    * silently wrong for [[rangeCount]]'s counting arithmetic, which has
+    * no post-filter and needs the b/b+1 invariant to hold for all signs.
+    * Integer-exact: pmod is non-negative, so (us - pmod) is the largest
+    * multiple of w that is <= us.
+    */
+  private def bucketOf(us: Column, windowUs: Long): Column =
+    ((us - pmod(us, lit(windowUs))) / windowUs).cast("long")
+
   /** Range join: pairs (l, r) with r.ts in [l.ts, l.ts + windowUs).
     * Decomposition: bucket both sides by floor(ts / windowUs); every
     * qualifying pair lands in the left row's bucket b or b+1, so the
@@ -24,11 +36,11 @@ object TemporalJoins {
     val lb = left.select(col(lId).as("l_id"),
         expr(s"unix_micros(cast($tsCol as timestamp))").as("l_us"))
       .withColumn("bucket", explode(array(
-        (col("l_us") / windowUs).cast("long"),
-        (col("l_us") / windowUs).cast("long") + 1)))
+        bucketOf(col("l_us"), windowUs),
+        bucketOf(col("l_us"), windowUs) + 1)))
     val rb = right.select(col(rId).as("r_id"),
         expr(s"unix_micros(cast($tsCol as timestamp))").as("r_us"))
-      .withColumn("bucket", (col("r_us") / windowUs).cast("long"))
+      .withColumn("bucket", bucketOf(col("r_us"), windowUs))
     lb.join(rb, "bucket")
       .filter(col("r_us") >= col("l_us") &&
         col("r_us") - col("l_us") < windowUs)
@@ -57,18 +69,22 @@ object TemporalJoins {
       windowUs: Long, lId: String): DataFrame = {
     def us(df: DataFrame) =
       expr(s"unix_micros(cast($tsCol as timestamp))")
+    // The id column rides along at its NATIVE type (it is only grouped
+    // on, never computed with) — a blind cast("long") would turn e.g.
+    // string ids into NULL for every row and silently collapse all left
+    // rows into one NULL group.
+    val idType = left.schema(lId).dataType
     val pts = right.select(us(right).as("us"))
-      .select((col("us") / windowUs).cast("long").as("bucket"),
+      .select(bucketOf(col("us"), windowUs).as("bucket"),
         col("us"), lit(1).as("is_point"), lit(1L).as("w"),
-        lit(null).cast("long").as("l_id"), lit(0).as("which"))
-    val lUs = left.select(col(lId).cast("long").as("l_id"),
-      us(left).as("us"))
+        lit(null).cast(idType).as("l_id"), lit(0).as("which"))
+    val lUs = left.select(col(lId).as("l_id"), us(left).as("us"))
     val lowProbes = lUs.select(
-      (col("us") / windowUs).cast("long").as("bucket"), col("us"),
+      bucketOf(col("us"), windowUs).as("bucket"), col("us"),
       lit(0).as("is_point"), lit(0L).as("w"), col("l_id"),
       lit(0).as("which"))
     val highProbes = lUs.select(
-      ((col("us") / windowUs).cast("long") + 1).as("bucket"),
+      (bucketOf(col("us"), windowUs) + 1).as("bucket"),
       (col("us") + windowUs).as("us"),
       lit(0).as("is_point"), lit(0L).as("w"), col("l_id"),
       lit(1).as("which"))

@@ -73,12 +73,27 @@ object CanonicalQueries {
     * (maxWidth-column pivots joined on the (test_id, step_id) spine)
     * instead of one flat aggregation. Results are identical either way
     * (spec-asserted); `maxWidth` defaults to Spark's own
-    * `pivotMaxValues` default. */
+    * `pivotMaxValues` default.
+    *
+    * Driver guard: the distinct-implementation collect itself is also
+    * bounded — the chunked path caps pivot WIDTH but a pathological
+    * 10⁷-implementation column would OOM the driver during discovery,
+    * before chunking ever engages. The collect reads `maxImpls + 1`
+    * rows at most (LIMIT is pushed into the distinct, so the overflow
+    * check costs one extra row, not a count job) and fails loudly past
+    * the cap: a view wider than ~100k columns is a modeling error, not
+    * a pivot. */
   def srmOutputViewDynamic(observations: DataFrame,
-      maxWidth: Int = 10000): DataFrame = {
-    require(maxWidth > 0)
+      maxWidth: Int = 10000, maxImpls: Int = 100000): DataFrame = {
+    require(maxWidth > 0 && maxImpls >= maxWidth)
     val impls = observations.select("implementation_id").distinct()
+      .limit(maxImpls + 1)
       .collect().map(_.getString(0)).sorted.toSeq
+    if (impls.size > maxImpls)
+      throw new IllegalArgumentException(
+        s"srmOutputViewDynamic: more than $maxImpls distinct " +
+          "implementations - a pivot this wide is unusable; raise " +
+          "maxImpls explicitly or aggregate instead of pivoting")
     if (impls.size <= maxWidth) srmOutputView(observations, impls)
     else srmOutputViewChunked(observations, impls, maxWidth)
   }

@@ -99,6 +99,26 @@ class CanonicalQueriesSpec extends SparkSpec {
     assert(rows(chunked) == rows(flat))
   }
 
+  test("dynamic SRM view fails loudly past the driver-collect cap") {
+    // the distinct-impl discovery collect is itself bounded: past
+    // maxImpls the call must throw (not OOM the driver), and the
+    // message must name the knob
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val obs = (1 to 7).map(i =>
+      ("t1", 0, s"i$i", "x")).toDF(
+      "test_id", "step_id", "implementation_id", "output")
+    val e = intercept[IllegalArgumentException] {
+      CanonicalQueries.srmOutputViewDynamic(obs, maxWidth = 3,
+        maxImpls = 5)
+    }
+    assert(e.getMessage.contains("maxImpls"))
+    // at exactly the cap it still succeeds via the chunked path
+    val ok = CanonicalQueries.srmOutputViewDynamic(obs, maxWidth = 3,
+      maxImpls = 7)
+    assert(ok.columns.length == 2 + 7)
+  }
+
   test("consensus verdicts score impls against majority behavior") {
     val v = CanonicalQueries.consensusVerdicts(Fixtures.observations)
       .collect()

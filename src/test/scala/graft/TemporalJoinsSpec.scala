@@ -42,6 +42,35 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(sweep == enum_)
   }
 
+  test("rangeCount is exact for pre-1970 (negative epoch) timestamps") {
+    // floor vs truncate-toward-zero bucketing diverges only below epoch:
+    // with truncation, bucket 0 spans (-w, w) and the low probe
+    // overcounts points in [t+w, w). Straddle the epoch densely.
+    val df = TestSpark.spark.range(300)
+      .selectExpr("id",
+        "timestamp_micros((cast(floor(rand(53) * 80) as long) - 40) " +
+          "* 250) as ts") // us in [-10000, 10000), multiples of 250
+      .localCheckpoint(true)
+    val sweep = TemporalJoins.rangeCount(df, df, "ts", 1000L, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val enum_ = TemporalJoins.rangeJoin(df, df, "ts", 1000L, "id", "id")
+      .groupBy("l_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sweep.size == 300)
+    assert(sweep == enum_)
+  }
+
+  test("rangeCount keeps a string id column intact (no silent cast)") {
+    val l = Seq(("a", ts("2026-01-01 10:00:30")),
+      ("b", ts("2026-01-01 10:02:00"))).toDF("name", "ts")
+    val r = Seq(ts("2026-01-01 10:00:59"), ts("2026-01-01 10:01:25"),
+      ts("2026-01-01 10:01:31"), ts("2026-01-01 10:02:00"))
+      .toDF("ts")
+    val out = TemporalJoins.rangeCount(l, r, "ts", 60000000L, "name")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("asOfJoin picks the latest prior row; none -> null match") {
     val left = Seq((100L, 7L, ts("2026-01-01 12:00:00")),
       (101L, 7L, ts("2026-01-01 09:00:00")),
