@@ -1,5 +1,6 @@
 package graft.lake
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -58,6 +59,7 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     sorted.write.mode("append")
       .partitionBy(Schemas.partitionCols: _*)
       .parquet(dir(table))
+    commitVersion(table, "append")
   }
 
   /** Lazy partitioned-table load; partition-key filters prune at the file
@@ -82,6 +84,212 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     * schema evolution (`lakehouse.py:281-336`). */
   def loadEvolved(table: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir(table))
+
+  // -----------------------------------------------------------------
+  // Snapshot-lite versioning — read-at-version time travel.
+  //
+  // The reference inherits ACID snapshots from Iceberg (every
+  // `table.append` is a committed snapshot: `olake/lakehouse.py:28-35`,
+  // `ingest/arena.py:146`, `README.md:11`); full table-format
+  // transaction semantics stay external per BASELINE.json, but the
+  // READ-AT-VERSION half needs no format dependency. Data files are
+  // immutable and uniquely named (Spark part-file UUIDs), so:
+  //   - every mutating op commits a manifest under `_manifests/`: the
+  //     COMPLETE live-file list + a monotonic version (full snapshot
+  //     listing, not a delta — replay reads ONE manifest);
+  //   - destructive rewrites MOVE replaced files into the hidden
+  //     `_archive/` at the same relative path instead of deleting, so
+  //     every committed version stays READABLE after later rewrites
+  //     (spec'd in LakehouseSpec). Concurrent-reader contract: a
+  //     version is re-resolvable at any time via load(table, asOf) —
+  //     but a DataFrame PLANNED before a concurrent rewrite holds the
+  //     pre-move paths and must be re-planned (unlike a table format,
+  //     which leaves files in place until vacuum; the same
+  //     single-writer caveat as the rest of this layer);
+  //   - [[expireSnapshots]] is the vacuum that actually reclaims
+  //     space, dropping old manifests and the archived files only they
+  //     reference.
+  // Underscore-prefixed names are invisible to Spark directory scans,
+  // so [[load]] (latest live state) is byte-identical with or without
+  // snapshots present. Version assignment is last-writer-wins, not a
+  // transaction log: RACING writers still need the external catalog —
+  // the same caveat as [[upsert]].
+  // -----------------------------------------------------------------
+
+  private val ManifestName = "v(\\d+)\\.txt".r
+
+  private def hadoopFs(p: HPath) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** A relative path is hidden iff any segment is underscore/dot-
+    * prefixed — Spark's own directory-scan visibility rule. */
+  private def isHidden(rel: String): Boolean =
+    rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
+
+  /** Relative paths of the table's current (live) data files. */
+  private def liveFiles(table: String): Seq[String] = {
+    val fs = hadoopFs(new HPath(dir(table)))
+    // qualify BEFORE relativizing: listFiles returns fully-qualified
+    // paths (scheme + authority); an unqualified root URI would fail
+    // to relativize them and hand back absolute URIs as "rel" paths
+    val root = fs.makeQualified(new HPath(dir(table)))
+    if (!fs.exists(root)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile) {
+        val rel = root.toUri.relativize(f.getPath.toUri).toString
+        if (!isHidden(rel)) out += rel
+      }
+    }
+    out.toSeq
+  }
+
+  /** Latest committed snapshot version; 0 = never committed. */
+  def currentVersion(table: String): Int = {
+    val md = new HPath(dir(table), "_manifests")
+    val fs = hadoopFs(md)
+    if (!fs.exists(md)) 0
+    else fs.listStatus(md).map(_.getPath.getName)
+      .collect { case ManifestName(v) => v.toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  private def manifestPath(table: String, v: Int): HPath =
+    new HPath(new HPath(dir(table), "_manifests"), f"v$v%08d.txt")
+
+  private def readManifest(table: String, v: Int): Seq[String] = {
+    val p = manifestPath(table, v)
+    val fs = hadoopFs(p)
+    require(fs.exists(p),
+      s"no snapshot v$v for table '$table' (have v${currentVersion(table)})" +
+        " - never committed, or removed by expireSnapshots")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .drop(1).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit the table's CURRENT live-file set as the next snapshot
+    * version. Called by every mutating op; callable directly to pin a
+    * baseline on a table populated out-of-band. Returns the version. */
+  def commitVersion(table: String, op: String): Int = {
+    val v = currentVersion(table) + 1
+    val files = liveFiles(table).sorted
+    val p = manifestPath(table, v)
+    val fs = hadoopFs(p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"graft-manifest v=$v op=$op\n" + files.mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** Read the table AS OF snapshot `asOf` — the Iceberg
+    * `VERSION AS OF` analog. Each manifest entry resolves to its live
+    * path first, then to the archive (where destructive rewrites moved
+    * it); a file in neither was reclaimed by [[expireSnapshots]] and
+    * the read fails loudly rather than returning a silently partial
+    * table. */
+  def load(table: String, asOf: Int): DataFrame = {
+    val root = new HPath(dir(table))
+    val fs = hadoopFs(root)
+    val rels = readManifest(table, asOf)
+    if (rels.isEmpty) return load(table).limit(0)
+    val (live, archived) =
+      rels.partition(r => fs.exists(new HPath(root, r)))
+    val missing = archived
+      .filterNot(r => fs.exists(new HPath(s"${dir(table)}/_archive/$r")))
+    require(missing.isEmpty,
+      s"snapshot v$asOf of '$table' is no longer readable: " +
+        s"${missing.size} file(s) reclaimed by expireSnapshots " +
+        s"(e.g. ${missing.take(3).mkString(", ")})")
+    val parts = Seq(dir(table) -> live,
+        s"${dir(table)}/_archive" -> archived)
+      .filter(_._2.nonEmpty)
+      .map { case (base, rs) =>
+        // basePath keeps partition-column parsing anchored at each
+        // group's root, so live and archived files yield identical
+        // schemas; mergeSchema tolerates pre-evolution files
+        spark.read.option("basePath", base)
+          .option("mergeSchema", "true")
+          .parquet(rs.map(r => s"$base/$r"): _*)
+      }
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Vacuum: keep the latest `keepLast` snapshots, drop older
+    * manifests, and delete archived files that no KEPT manifest
+    * references. Live files are never touched. After expiry, reads of
+    * dropped versions fail loudly in [[load(table:String,asOf:Int)*]].
+    */
+  def expireSnapshots(table: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val root = new HPath(dir(table))
+    val fs = hadoopFs(root)
+    val md = new HPath(root, "_manifests")
+    if (!fs.exists(md)) return
+    val versions = fs.listStatus(md).map(_.getPath.getName)
+      .collect { case ManifestName(v) => v.toInt }.sorted
+    val (expire, keep) =
+      versions.splitAt(math.max(0, versions.length - keepLast))
+    if (expire.isEmpty) return
+    val kept: Set[String] =
+      keep.flatMap(v => readManifest(table, v)).toSet
+    val arch = fs.makeQualified(new HPath(root, "_archive"))
+    if (fs.exists(arch)) {
+      val it = fs.listFiles(arch, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile) {
+          val rel = arch.toUri.relativize(f.getPath.toUri).toString
+          if (!kept.contains(rel)) fs.delete(f.getPath, false)
+        }
+      }
+    }
+    expire.foreach(v => fs.delete(manifestPath(table, v), false))
+  }
+
+  /** Render touched-partition rows as relative directory paths with
+    * Spark's own partition-path escaping (the [[deleteWhere]]
+    * discipline — a raw "$c=$v" string misses escaped values). */
+  private def partitionRelDirs(
+      rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+    rows.toSeq.map { r =>
+      Schemas.partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = if (r.isNullAt(i)) null else String.valueOf(r.get(i))
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c, v)
+      }.mkString("/")
+    }
+
+  /** Move the data files of the given partition dirs into the hidden
+    * archive at the SAME relative path, so snapshots committed before
+    * a destructive rewrite keep resolving. Renames, not copies —
+    * O(touched files) metadata ops, no data movement on HDFS/local. */
+  private def archivePartitions(table: String,
+      relDirs: Seq[String]): Unit = {
+    val root = new HPath(dir(table))
+    val fs = hadoopFs(root)
+    relDirs.foreach { rd =>
+      val src = new HPath(root, rd)
+      if (fs.exists(src)) {
+        fs.listStatus(src).filter(_.isFile)
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+          .foreach { s =>
+            val dst =
+              new HPath(s"${dir(table)}/_archive/$rd/${s.getPath.getName}")
+            fs.mkdirs(dst.getParent)
+            require(fs.rename(s.getPath, dst),
+              s"archivePartitions: cannot move ${s.getPath} to $dst")
+          }
+      }
+    }
+  }
 
   def observations: DataFrame = load("observations")
   def codeImplementations: DataFrame = load("code_implementations")
@@ -121,29 +329,41 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
   def upsert(table: String, updates: DataFrame, schema: StructType,
       keys: Seq[String]): Unit = {
     val up = align(updates, schema)
-    val touched = up.select(Schemas.partitionCols.map(col): _*).distinct()
+    // bounded collect: the partitions of one update's scope (the
+    // deleteWhere discipline) — needed both for the pruning semi-join
+    // and to archive the replaced files for snapshot readers
+    val touchedRows = up.select(Schemas.partitionCols.map(col): _*)
+      .distinct().collect()
+    val touched = spark.createDataFrame(
+      spark.sparkContext.parallelize(touchedRows.toSeq),
+      StructType(Schemas.partitionCols.map(c => up.schema(c)).toArray))
     val existing = load(table)
       // partition pruning: only read the partitions being rewritten
       .join(broadcast(touched), Schemas.partitionCols, "left_semi")
       .join(up.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    align(existing, schema).union(up)
+    val merged = align(existing, schema).union(up)
       .repartition(Schemas.partitionCols.map(col): _*)
       // materialize before writing: Spark refuses to overwrite a path
       // its own plan reads, and rightly so — the checkpoint holds the
       // touched partitions' merged rows (bounded by the update scope)
       .localCheckpoint(true)
-      .write.mode("overwrite")
+    // snapshot safety: replaced files move to the archive (the merged
+    // rows are already materialized above, so nothing reads them live)
+    archivePartitions(table, partitionRelDirs(touchedRows))
+    merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(Schemas.partitionCols: _*)
       .parquet(dir(table))
+    commitVersion(table, "upsert")
   }
 
   /** Per-partition file/byte statistics — the observability half of
     * small-file maintenance: decide WHAT to compact before rewriting
     * anything. Returns (partition dir relative path, files, bytes). */
   def tableStats(table: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(dir(table))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs(new HPath(dir(table)))
+    // qualified root: see liveFiles — relativize needs matching schemes
+    val root = fs.makeQualified(new HPath(dir(table)))
     val it = fs.listFiles(root, true)
     val rows = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long)]
@@ -151,7 +371,9 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
       val f = it.next()
       if (f.isFile && !f.getPath.getName.startsWith("_")) {
         val rel = root.toUri.relativize(f.getPath.getParent.toUri).toString
-        rows += ((rel, 1L, f.getLen))
+        // skip snapshot bookkeeping (_manifests, _archive): stats
+        // describe the LIVE table, same visibility rule as a scan
+        if (!isHidden(rel)) rows += ((rel, 1L, f.getLen))
       }
     }
     import spark.implicits._
@@ -168,16 +390,22 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     * SCALE.md prescribes for 100 TB tables, where whole-table [[compact]]
     * is a maintenance-window operation. */
   def compactWhere(table: String, schema: StructType,
-      partitionPredicate: org.apache.spark.sql.Column): Unit =
-    align(loadEvolved(table).filter(partitionPredicate), schema)
-      .repartition(Schemas.partitionCols.map(col): _*)
-      // see upsert: break the read-path/overwrite-path cycle; holds only
-      // the partitions being rewritten
-      .localCheckpoint(true)
-      .write.mode("overwrite")
+      partitionPredicate: org.apache.spark.sql.Column): Unit = {
+    val rewritten =
+      align(loadEvolved(table).filter(partitionPredicate), schema)
+        .repartition(Schemas.partitionCols.map(col): _*)
+        // see upsert: break the read-path/overwrite-path cycle; holds
+        // only the partitions being rewritten
+        .localCheckpoint(true)
+    val touched = rewritten
+      .select(Schemas.partitionCols.map(col): _*).distinct().collect()
+    archivePartitions(table, partitionRelDirs(touched))
+    rewritten.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(Schemas.partitionCols: _*)
       .parquet(dir(table))
+    commitVersion(table, "compactWhere")
+  }
 
   /** Row-level delete: rewrite ONLY the partitions containing matching
     * rows (touched set via broadcast semi-join, like [[upsert]]),
@@ -208,25 +436,24 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     val stillThere = survivors
       .select(Schemas.partitionCols.map(col): _*).distinct()
       .collect().map(_.toSeq).toSet
+    // snapshot safety: the touched partitions' current files move to
+    // the archive (survivors are already materialized above), so reads
+    // pinned to earlier versions keep resolving
+    archivePartitions(table, partitionRelDirs(touched))
     survivors.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(Schemas.partitionCols: _*)
       .parquet(dir(table))
-    // drop directories of fully-deleted partitions
-    val root = new org.apache.hadoop.fs.Path(dir(table))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(r => stillThere.contains(r.toSeq)).foreach { r =>
-      // render the dir with Spark's OWN partition-path escaping (special
-      // chars URL-escaped, NULL → __HIVE_DEFAULT_PARTITION__) — a raw
-      // "$c=$v" path misses for such values and the "deleted" rows would
-      // silently reappear on the next read
-      val rel = Schemas.partitionCols.zipWithIndex.map { case (c, i) =>
-        val v = if (r.isNullAt(i)) null else String.valueOf(r.get(i))
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(c, v)
-      }.mkString("/")
-      fs.delete(new org.apache.hadoop.fs.Path(root, rel), true)
-    }
+    // drop directories of fully-deleted partitions (their data files
+    // are archived; what remains is the empty directory chain, which a
+    // directory listing would otherwise keep presenting — the rel path
+    // uses Spark's OWN partition escaping, see partitionRelDirs)
+    val root = new HPath(dir(table))
+    val fs = hadoopFs(root)
+    partitionRelDirs(
+        touched.filterNot(r => stillThere.contains(r.toSeq)))
+      .foreach(rel => fs.delete(new HPath(root, rel), true))
+    commitVersion(table, "deleteWhere")
   }
 
   /** Z-order compaction — [[compactWhere]] with a multi-dimensional
@@ -259,7 +486,7 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
       ((col(d).cast("double") - lo) / span * ((1L << bitsPerDim) - 1))
         .cast("long")
     }
-    base
+    val rewritten = base
       .withColumn("__zorder", graft.plans.ZOrderExpr.zorder(enc: _*))
       .repartition(Schemas.partitionCols.map(col): _*)
       .sortWithinPartitions(
@@ -267,10 +494,14 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
       .drop("__zorder")
       // see upsert: break the read-path/overwrite-path cycle
       .localCheckpoint(true)
-      .write.mode("overwrite")
+    val touched = rewritten
+      .select(Schemas.partitionCols.map(col): _*).distinct().collect()
+    archivePartitions(table, partitionRelDirs(touched))
+    rewritten.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(Schemas.partitionCols: _*)
       .parquet(dir(table))
+    commitVersion(table, "compactZOrder")
   }
 
   /** Small-file compaction (SURVEY §7 "small-file / tiny-partition
@@ -294,13 +525,36 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
       .write.mode("overwrite")
       .partitionBy(Schemas.partitionCols: _*)
       .parquet(tmp)
-    val target = new org.apache.hadoop.fs.Path(dir(table))
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val backup = new org.apache.hadoop.fs.Path(s"${dir(table)}__old")
+    val target = new HPath(dir(table))
+    val fs = hadoopFs(target)
+    val backup = new HPath(s"${dir(table)}__old")
     require(fs.rename(target, backup), s"compact: cannot move $target")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), target),
+    require(fs.rename(new HPath(tmp), target),
       s"compact: cannot promote $tmp")
+    // snapshot safety across the whole-dir swap: carry the version
+    // state over, then archive every replaced data file at its old
+    // relative path so pinned snapshots keep resolving
+    Seq("_manifests", "_archive").foreach { d =>
+      val src = new HPath(backup, d)
+      if (fs.exists(src)) require(fs.rename(src, new HPath(target, d)),
+        s"compact: cannot carry $d across the swap")
+    }
+    val qBackup = fs.makeQualified(backup)
+    val it = fs.listFiles(qBackup, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile) {
+        val rel = qBackup.toUri.relativize(f.getPath.toUri).toString
+        if (!isHidden(rel)) {
+          val dst = new HPath(s"${dir(table)}/_archive/$rel")
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(f.getPath, dst),
+            s"compact: cannot archive ${f.getPath}")
+        }
+      }
+    }
     fs.delete(backup, true)
+    commitVersion(table, "compact")
   }
 
   /** SQL DDL registration (SURVEY S6): declares the partitioned layout as

@@ -119,6 +119,58 @@ class LakehouseSpec extends SparkSpec {
       .forall(_.getAs[Long]("files") == 1)) // compacted to one file/dir
   }
 
+  test("snapshot-lite: read-at-version survives delete, upsert, " +
+      "compaction; vacuum expires loudly") {
+    val wh = tmpDir("wh-tt")
+    val lake = new Lakehouse(spark, wh)
+    // v1: initial append
+    lake.append("observations", Fixtures.observations, Schemas.observations)
+    assert(lake.currentVersion("observations") == 1)
+    val v1Rows = lake.load("observations", 1)
+      .orderBy("step_id", "implementation_id", "test_id")
+      .drop("created_at").collect().toSeq
+    assert(v1Rows.size == 12)
+    // v2: delete a slice — v1 must read back INTACT afterwards
+    lake.deleteWhere("observations", Schemas.observations,
+      col("implementation_id") === "i1")
+    assert(lake.currentVersion("observations") == 2)
+    assert(lake.observations.filter(col("implementation_id") === "i1")
+      .count() == 0)
+    assert(lake.load("observations", 1)
+      .orderBy("step_id", "implementation_id", "test_id")
+      .drop("created_at").collect().toSeq == v1Rows)
+    // v3: upsert on top — v1 and v2 both still pinned
+    val upd = Fixtures.observations.limit(1)
+      .withColumn("output", lit("UPD"))
+    lake.upsert("observations", upd, Schemas.observations,
+      Seq("data_set_id", "problem_id", "implementation_id",
+        "test_id", "run_id", "environment_id", "step_id"))
+    val v2Count = lake.load("observations", 2).count()
+    assert(lake.load("observations", 1).count() == 12)
+    assert(lake.load("observations", 3)
+      .filter(col("output") === "UPD").count() == 1)
+    // v4: whole-table compaction — every earlier version still reads
+    lake.compact("observations", Schemas.observations)
+    assert(lake.currentVersion("observations") == 4)
+    assert(lake.load("observations", 1).count() == 12)
+    assert(lake.load("observations", 2).count() == v2Count)
+    // live state untouched by snapshot bookkeeping
+    assert(lake.observations.count() ==
+      lake.load("observations", 4).count())
+    // vacuum to the latest 2: v1 becomes unreadable LOUDLY, v4 intact
+    lake.expireSnapshots("observations", keepLast = 2)
+    val e = intercept[IllegalArgumentException] {
+      lake.load("observations", 1).count()
+    }
+    assert(e.getMessage.contains("expireSnapshots"))
+    assert(lake.load("observations", 4).count() == lake.observations.count())
+    // unknown version names the available range
+    val e2 = intercept[IllegalArgumentException] {
+      lake.load("observations", 99)
+    }
+    assert(e2.getMessage.contains("v99"))
+  }
+
   test("empty table reads as an empty typed frame, not a crash") {
     // an export with no metadata rows appends ZERO code/tests rows; the
     // table dir then has no data files and schema inference would fail —

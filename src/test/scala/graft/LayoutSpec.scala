@@ -185,7 +185,9 @@ class LayoutSpec extends SparkSpec {
     val parquets = Iterator.continually(files)
       .takeWhile(_.hasNext).map(_.next()).map(_.toString)
       .filter(p => p.endsWith(".parquet") &&
-        !new java.io.File(p).getName.startsWith("_"))
+        // live files only: _archive holds the PRE-rewrite files the
+        // snapshot layer preserved, in their pre-curve order
+        !p.split("/").exists(_.startsWith("_")))
       .toList
     assert(parquets.nonEmpty)
     // step_id and execution_time_ms both span [0, 63] by construction
