@@ -90,8 +90,14 @@ object ProblemBench {
         }
       }.sorted
       val mean = times.sum / times.size
+      // tail discipline: p99 alongside the mean — a latency path whose
+      // p99 is >2x p50 is hiding a stall (GC, first-touch page cache),
+      // and means alone cannot show it
+      def pct(q: Double) =
+        times(math.min(times.size - 1, (times.size * q).toInt))
       println(f"PROBLEM_BENCH $name%-28s mean=${mean}%7.1f ms  " +
-        f"p50=${times(times.size / 2)}%7.1f  min=${times.head}%7.1f  " +
+        f"p50=${pct(0.50)}%7.1f  p95=${pct(0.95)}%7.1f  " +
+        f"p99=${pct(0.99)}%7.1f  min=${times.head}%7.1f  " +
         f"max=${times.last}%7.1f  (n=${times.size}, reps=$reps)")
     }
 

@@ -6,7 +6,7 @@ compare row count, schema (column names sorted), and values exactly.
 
 Usage: compare.py <sfDir> <outDir>
 """
-import json, math, os, sys
+import json, math, os, sys, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -41,10 +41,12 @@ def main(sf_dir, out_dir):
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
         try:
+            t0 = time.time()
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
             ).fetchdf()
             want = con.execute(sql).fetchdf()
+            dt = time.time() - t0
             gc, gr = frame_sig(got)
             wc, wr = frame_sig(want)
             if gc != wc:
@@ -61,7 +63,7 @@ def main(sf_dir, out_dir):
                 print(f"  duck : {wr[i]}")
                 bad += 1
             else:
-                print(f"OK   {name} ({len(gr)} rows)")
+                print(f"OK   {name} ({len(gr)} rows, {dt:.1f}s)")
                 ok += 1
         except Exception as e:
             print(f"ERR  {name}: {str(e).splitlines()[0][:200]}")
