@@ -39,32 +39,69 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
+    # Above this row count the per-cell Python repr compare dominates the
+    # gate's wall time (tens of millions of interpreter ops at sf1), so
+    # big results are compared INSIDE DuckDB: order-sensitive via
+    # POSITIONAL JOIN (DuckDB preserves scan/insertion order by default),
+    # value equality via SQL `IS NOT DISTINCT FROM` per column (NULL-safe;
+    # DuckDB's NaN = NaN matches norm_cell's NaN handling). The exact
+    # repr-level compare still covers every result below the bar — which
+    # at the driver's sf0.01 is ALL of them.
+    FAST_ROWS = int(os.environ.get("GRAFT_COMPARE_FAST_ROWS", "100000"))
     for name, sql in sorted(oracle.items()):
         try:
             t0 = time.time()
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            ).fetchdf()
-            want = con.execute(sql).fetchdf()
-            dt = time.time() - t0
-            gc, gr = frame_sig(got)
-            wc, wr = frame_sig(want)
+            con.execute(
+                "CREATE OR REPLACE TEMP VIEW __got AS SELECT * FROM "
+                f"read_parquet('{out_dir}/{name}/*.parquet')")
+            # materialize the oracle ONCE: count, schema and value
+            # passes below would otherwise re-run the (expensive) SQL
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __want AS {sql}")
+            ng = con.execute("SELECT count(*) FROM __got").fetchone()[0]
+            nw = con.execute("SELECT count(*) FROM __want").fetchone()[0]
+            gc = sorted(r[0] for r in
+                        con.execute("DESCRIBE __got").fetchall())
+            wc = sorted(r[0] for r in
+                        con.execute("DESCRIBE __want").fetchall())
             if gc != wc:
                 print(f"FAIL {name}: schema {gc} vs {wc}")
                 bad += 1
-            elif len(gr) != len(wr):
-                print(f"FAIL {name}: rows {len(gr)} vs {len(wr)}")
+            elif ng != nw:
+                print(f"FAIL {name}: rows {ng} vs {nw}")
                 bad += 1
-            elif gr != wr:
-                i = next(i for i, (a, b) in enumerate(zip(gr, wr))
-                         if a != b)
-                print(f"FAIL {name}: first diff at row {i}:")
-                print(f"  spark: {gr[i]}")
-                print(f"  duck : {wr[i]}")
-                bad += 1
+            elif ng > FAST_ROWS:
+                qg = ", ".join(f'"{c}" AS g{i}' for i, c in enumerate(gc))
+                qw = ", ".join(f'"{c}" AS w{i}' for i, c in enumerate(wc))
+                cond = " AND ".join(f"g{i} IS NOT DISTINCT FROM w{i}"
+                                    for i in range(len(gc)))
+                n_diff = con.execute(
+                    f"SELECT count(*) FROM (SELECT {qg} FROM __got) g "
+                    f"POSITIONAL JOIN (SELECT {qw} FROM __want) w "
+                    f"WHERE NOT ({cond})").fetchone()[0]
+                dt = time.time() - t0
+                if n_diff:
+                    print(f"FAIL {name}: {n_diff} differing rows "
+                          "(in-db compare)")
+                    bad += 1
+                else:
+                    print(f"OK   {name} ({ng} rows, {dt:.1f}s, in-db)")
+                    ok += 1
             else:
-                print(f"OK   {name} ({len(gr)} rows, {dt:.1f}s)")
-                ok += 1
+                got = con.execute("SELECT * FROM __got").fetchdf()
+                want = con.execute("SELECT * FROM __want").fetchdf()
+                dt = time.time() - t0
+                _, gr = frame_sig(got)
+                _, wr = frame_sig(want)
+                if gr != wr:
+                    i = next(i for i, (a, b) in enumerate(zip(gr, wr))
+                             if a != b)
+                    print(f"FAIL {name}: first diff at row {i}:")
+                    print(f"  spark: {gr[i]}")
+                    print(f"  duck : {wr[i]}")
+                    bad += 1
+                else:
+                    print(f"OK   {name} ({len(gr)} rows, {dt:.1f}s)")
+                    ok += 1
         except Exception as e:
             print(f"ERR  {name}: {str(e).splitlines()[0][:200]}")
             bad += 1
