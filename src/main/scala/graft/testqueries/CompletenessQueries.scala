@@ -341,20 +341,27 @@ object CompletenessQueries {
     // (Spark NULLS FIRST vs DuckDB NULLS LAST would otherwise flip
     // row order).
     QueryDef("q55_grouping_sets",
-      (s, d) => {
-        lineitem(s, d).createOrReplaceTempView("v_lineitem_gs")
-        s.sql("""SELECT CAST(grouping(l_returnflag) AS INT) AS g_rf,
-            CAST(grouping(l_linestatus) AS INT) AS g_ls,
-            COALESCE(l_returnflag, '<all>') AS rf,
-            COALESCE(l_linestatus, '<all>') AS ls,
-            COUNT(*) AS n,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
-              AS sum_qty
-          FROM v_lineitem_gs
-          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-            (l_linestatus), ())
-          ORDER BY g_rf, g_ls, rf, ls""")
-      },
+      // Re-agg decomposition (ops/Rollups): the native GROUPING SETS
+      // plan Expands every lineitem row x3 before the hash aggregate
+      // (measured ~2.5x the plain 2-key agg at sf0.1); here the fact
+      // table is aggregated ONCE and the 3 sets re-aggregate the tiny
+      // (rf x ls) partial frame. Bit parity with the built-in operator
+      // is RollupsSpec's job; the oracle checks semantics as usual.
+      (s, d) => graft.ops.Rollups.groupingSetsReAgg(
+          lineitem(s, d),
+          keys = Seq("l_returnflag", "l_linestatus"),
+          baseAggs = Seq(count(lit(1)).as("pn"),
+            sum(col("l_quantity").cast("decimal(28,2)")).as("pq")),
+          reAggs = Seq(sum(col("pn")).as("n"),
+            sum(col("pq")).cast("double").as("sum_qty")),
+          sets = Seq(Seq("l_returnflag", "l_linestatus"),
+            Seq("l_linestatus"), Seq.empty))
+        .select(col("grouping_l_returnflag").as("g_rf"),
+          col("grouping_l_linestatus").as("g_ls"),
+          coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("g_rf", "g_ls", "rf", "ls"),
       Some("""SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
         CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
         COALESCE(l_returnflag, '<all>') AS rf,

@@ -461,8 +461,14 @@ object VectorEventQueries {
         val ev = events(s, d).select(
           date_trunc("hour", col("ts")).as("bucket"),
           col("event_type"), col("value"))
+        // materialized ONCE (sortedPMat discipline): three consumers
+        // below (hour bounds, the type list, the grid left join) would
+        // otherwise each re-run the events scan + aggregation — measured
+        // ~3x the query's true cost at sf0.1. The frame is tiny
+        // (types x hours), so the eager checkpoint is cheap.
         val agg = ev.groupBy("event_type", "bucket")
           .agg(count(lit(1)).as("n"), Fns.sumDec(col("value")).as("total"))
+          .localCheckpoint(true)
         val hours = agg.agg(min(col("bucket")).as("lo"),
             max(col("bucket")).as("hi"))
           .select(explode(sequence(col("lo"), col("hi"),
