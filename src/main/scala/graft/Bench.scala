@@ -124,8 +124,12 @@ object Bench {
           new String(java.nio.file.Files.readAllBytes(sf1Path),
             "UTF-8").trim
       } else ""
+    // run_at is stamped INSIDE the artifact: the mtime marker above
+    // does not survive a git checkout (a committed stale artifact gets
+    // checkout-time mtime and looks fresh), the embedded timestamp does.
+    val runAt = java.time.Instant.now().toString
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"q58_gate_s":$gateS,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt","queries":$qjson,"q58_gate_s":$gateS,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
     println(json)
     // Also persist to a file: the driver captures a bounded stdout tail,
     // and round 3's artifact lost q01-q04 + the total to that window.

@@ -226,18 +226,19 @@ object CompletenessQueries {
       // directly on the join output samples its child and executes the
       // whole rangeJoin twice (the q53 trap).
       (s, d) => graft.ops.TemporalJoins
-        .rangeJoin(events(s, d), events(s, d), "ts", 300000000L,
-          "event_id", "event_id")
+        .rangeJoin(events(s, d), events(s, d), "ts",
+          GateKnobs.rangeWindowUs, "event_id", "event_id")
         .filter(col("l_id") =!= col("r_id"))
         .groupBy(col("l_id").as("event_id"))
         .agg(count(lit(1)).as("n_nearby"))
         .transform(QueryDef.sortedPMat(_, col("event_id"))),
-      Some("""SELECT e1.event_id, COUNT(*) AS n_nearby
+      Some(s"""SELECT e1.event_id, COUNT(*) AS n_nearby
         FROM events e1 JOIN events e2
           ON epoch_us(CAST(e2.ts AS TIMESTAMP))
                >= epoch_us(CAST(e1.ts AS TIMESTAMP))
           AND epoch_us(CAST(e2.ts AS TIMESTAMP))
-              - epoch_us(CAST(e1.ts AS TIMESTAMP)) < 300000000
+              - epoch_us(CAST(e1.ts AS TIMESTAMP))
+              < ${GateKnobs.rangeWindowUs}
           AND e2.event_id <> e1.event_id
         GROUP BY e1.event_id ORDER BY e1.event_id""")),
 
@@ -249,16 +250,17 @@ object CompletenessQueries {
     // [t, t+5min), including the probe event itself).
     QueryDef("q76_range_count",
       (s, d) => graft.ops.TemporalJoins
-        .rangeCount(events(s, d), events(s, d), "ts", 300000000L,
-          "event_id")
+        .rangeCount(events(s, d), events(s, d), "ts",
+          GateKnobs.rangeWindowUs, "event_id")
         .select(col("l_id").as("event_id"), col("n").as("n_window"))
         .transform(QueryDef.sortedPMat(_, col("event_id"))),
-      Some("""SELECT e1.event_id, COUNT(*) AS n_window
+      Some(s"""SELECT e1.event_id, COUNT(*) AS n_window
         FROM events e1 JOIN events e2
           ON epoch_us(CAST(e2.ts AS TIMESTAMP))
                >= epoch_us(CAST(e1.ts AS TIMESTAMP))
           AND epoch_us(CAST(e2.ts AS TIMESTAMP))
-              - epoch_us(CAST(e1.ts AS TIMESTAMP)) < 300000000
+              - epoch_us(CAST(e1.ts AS TIMESTAMP))
+              < ${GateKnobs.rangeWindowUs}
         GROUP BY e1.event_id ORDER BY e1.event_id""")),
 
     // As-of join: each order matched to the user's latest event at or

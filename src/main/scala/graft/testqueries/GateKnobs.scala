@@ -1,0 +1,38 @@
+package graft.testqueries
+
+/** Scale knobs for the handful of declared queries whose DuckDB ORACLE
+  * cost grows super-linearly with the corpus even though the Spark side
+  * stays cheap. The two-scale gate (tools/sf1_gate.sh) is only useful
+  * if it runs routinely; at sf1 the un-knobbed q39/q76 oracle is a
+  * ~10-minute DuckDB inequality join EACH (~100M qualifying pairs) and
+  * q74's recursive-CTE clustering replay exceeds DuckDB's memory —
+  * measured/observed on the round-6 gate.
+  *
+  * Mechanism: each knob is read ONCE at query-declaration time and
+  * interpolated into BOTH the Spark pipeline and the oracle SQL string
+  * that `graft.Verify` dumps — the two sides can never disagree, the
+  * check stays an exact equivalence on exactly the same inputs. The
+  * knobs change the PARAMETERS of the verified query (a narrower join
+  * window; a deterministic id-stride subsample of the embeddings), not
+  * the operator under test. Defaults reproduce the un-knobbed queries
+  * bit-for-bit, so the driver's sf0.01 gate and all committed artifacts
+  * are unaffected unless a gate script opts in explicitly.
+  *
+  * Timing comparisons only hold between runs with equal knob values
+  * (sf1_gate.sh records them in its artifacts).
+  */
+object GateKnobs {
+
+  /** q39/q76 range window in micros. Default 5 min. The oracle's
+    * inequality-join cost — and q39's output — is linear in the window
+    * at fixed event density; sf1_gate.sh sets 30s (10x cheaper) at sf1+. */
+  val rangeWindowUs: Long =
+    sys.env.get("GRAFT_GATE_RANGE_WINDOW_US").map(_.toLong)
+      .getOrElse(300000000L)
+
+  /** q74 keeps embeddings with vec_id % mod == 0. Default 1 (all).
+    * Candidate-pair work falls ~quadratically in the kept fraction;
+    * the clustering replay stays an exact equivalence on the subset. */
+  val embSampleMod: Long =
+    sys.env.get("GRAFT_GATE_EMB_MOD").map(_.toLong).getOrElse(1L)
+}

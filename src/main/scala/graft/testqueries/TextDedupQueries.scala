@@ -594,12 +594,21 @@ object TextDedupQueries {
     // assignment, the pair threshold, and a WITH RECURSIVE min-label
     // fixpoint.
     QueryDef("q74_semantic_dedup",
+      // GateKnobs.embSampleMod (default 1 = all rows): the DuckDB
+      // replay of the clustering is quadratic within cells and its
+      // recursive-CTE labeling exceeds DuckDB's memory at sf1 — the
+      // big-scale gate verifies the identical pipeline on an id-stride
+      // subsample instead (both sides read the same subset).
       (s, d) => graft.ops.Dedup.semanticDedup(
-          Tables.embeddings(s, d), "vec_id", "embedding",
+          Tables.embeddings(s, d)
+            .filter(pmod(col("vec_id"), lit(GateKnobs.embSampleMod))
+              === 0),
+          "vec_id", "embedding",
           nCells = 8, threshold = 0.3, lloydRounds = 0)
         .transform(QueryDef.sortedP(_, col("vec_id"))),
-      Some("""WITH RECURSIVE v AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      Some(s"""WITH RECURSIVE v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE vec_id % ${GateKnobs.embSampleMod} = 0),
       seeds AS (
         SELECT vec_id AS cent_id, e AS cv FROM v
         ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))

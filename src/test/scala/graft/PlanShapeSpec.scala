@@ -89,6 +89,9 @@ class PlanShapeSpec extends SparkSpec {
       "q37_scalar_subquery" -> "broadcast 1-row scalar aggregate",
       "q44_cube" -> "grouping-set cells",
       "q50_consensus_verdicts" -> "implementations ≪ observations",
+      "q55_grouping_sets" -> ("grand-total set re-aggregates the " +
+        "bounded once-aggregated base (rows = product of key " +
+        "cardinalities), not the corpus"),
       "q56_tfidf" -> ("broadcast 1-row corpus-size aggregate (the " +
         "output sort itself is a parallel range sort)"),
       "q71_gapfill_resample" -> ("1-row global min/max bounds aggregate " +
