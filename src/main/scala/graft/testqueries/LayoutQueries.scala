@@ -158,5 +158,58 @@ object LayoutQueries {
           AS sum_v,
         MAX(o_orderkey) AS max_k
       FROM orders WHERE o_orderkey % 5 = 0
-      GROUP BY 1 ORDER BY 1""")))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Snapshot-lite time travel under the oracle gate (the Iceberg
+    // `VERSION AS OF` analog, olake/lakehouse.py:28-35): three commits
+    // — append the even-doc half (v1), append the odd half (v2), then
+    // a destructive deleteWhere(lang='en') (v3) whose dynamic overwrite
+    // MOVES every pre-delete file into the archive. The declared query
+    // reads all three versions back — v1/v2 resolve entirely through
+    // archived files, v3 through the live tree — so manifest replay,
+    // archive resolution and delete semantics are all hash-verified
+    // against DuckDB recomputing each version's state from the source
+    // table. Documents is the small table (~500 rows at sf0.01), so the
+    // per-pass write cost stays benchable, like q75.
+    QueryDef("q77_time_travel",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val lake = new graft.lake.Lakehouse(s,
+          java.nio.file.Files.createTempDirectory("q77wh").toString)
+        val sch = StructType(Seq(
+          StructField("data_set_id", StringType, nullable = false),
+          StructField("problem_id", StringType, nullable = false),
+          StructField("doc_id", LongType, nullable = true),
+          StructField("lang", StringType, nullable = true),
+          StructField("n_chars", LongType, nullable = true)))
+        val docs = documents(s, d).select(
+          lit("docs").as("data_set_id"),
+          col("source").as("problem_id"),
+          col("doc_id"), col("lang"), col("n_chars"))
+        lake.append("docs", docs.filter(col("doc_id") % 2 === 0), sch,
+          sortCols = Seq("doc_id"))                              // v1
+        lake.append("docs", docs.filter(col("doc_id") % 2 =!= 0), sch,
+          sortCols = Seq("doc_id"))                              // v2
+        lake.deleteWhere("docs", sch, col("lang") === "en")      // v3
+        def stats(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("snap", lit(tag))
+        stats(lake.load("docs", 1), "v1")
+          .unionByName(stats(lake.load("docs", 2), "v2"))
+          .unionByName(stats(lake.load("docs"), "v3"))
+          .select("snap", "lang", "n_docs", "sum_chars")
+          .orderBy("snap", "lang")
+      },
+      Some("""SELECT 'v1' AS snap, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+      UNION ALL
+      SELECT 'v2', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT 'v3', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+      FROM documents WHERE lang <> 'en' GROUP BY lang
+      ORDER BY snap, lang""")))
 }
