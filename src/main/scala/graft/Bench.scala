@@ -128,8 +128,18 @@ object Bench {
     // does not survive a git checkout (a committed stale artifact gets
     // checkout-time mtime and looks fresh), the embedded timestamp does.
     val runAt = java.time.Instant.now().toString
+    // Gate knobs ride along so every artifact is self-describing:
+    // timings only compare between runs with EQUAL knob values (q39/q76
+    // measure a narrower window when a gate script sets one — see
+    // GateKnobs), and without this field a bench_sf3.json read in
+    // isolation would hide that its range queries ran parameterized.
+    val knobs = {
+      import graft.testqueries.GateKnobs
+      s""""knobs":{"range_window_us":${GateKnobs.rangeWindowUs},""" +
+        s""""emb_mod":${GateKnobs.embSampleMod}}"""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt","queries":$qjson,"q58_gate_s":$gateS,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt",$knobs,"queries":$qjson,"q58_gate_s":$gateS,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
     println(json)
     // Also persist to a file: the driver captures a bounded stdout tail,
     // and round 3's artifact lost q01-q04 + the total to that window.
