@@ -194,31 +194,140 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     * it); a file in neither was reclaimed by [[expireSnapshots]] and
     * the read fails loudly rather than returning a silently partial
     * table. */
-  def load(table: String, asOf: Int): DataFrame = {
+  def load(table: String, asOf: Int): DataFrame =
+    readRels(table, readManifest(table, asOf), s"snapshot v$asOf")
+
+  /** The op string a snapshot's manifest header recorded at commit
+    * time ("append", "deleteWhere", "compact", ...). */
+  def manifestOp(table: String, v: Int): String = {
+    val p = manifestPath(table, v)
+    val fs = hadoopFs(p)
+    require(fs.exists(p),
+      s"no snapshot v$v for table '$table' (have v${currentVersion(table)})")
+    val in = fs.open(p)
+    val header =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+      finally in.close()
+    header.split(" op=", 2) match {
+      case Array(_, op) => op
+      case _ => "unknown"
+    }
+  }
+
+  /** Resolve manifest-relative paths live-first-then-archive, failing
+    * loudly on files reclaimed by [[expireSnapshots]]; read each group
+    * anchored at its own basePath so partition parsing is identical. */
+  private def readRels(table: String, rels: Seq[String],
+      what: String): DataFrame = {
     val root = new HPath(dir(table))
     val fs = hadoopFs(root)
-    val rels = readManifest(table, asOf)
     if (rels.isEmpty) return load(table).limit(0)
     val (live, archived) =
       rels.partition(r => fs.exists(new HPath(root, r)))
     val missing = archived
       .filterNot(r => fs.exists(new HPath(s"${dir(table)}/_archive/$r")))
     require(missing.isEmpty,
-      s"snapshot v$asOf of '$table' is no longer readable: " +
-        s"${missing.size} file(s) reclaimed by expireSnapshots " +
+      s"$what of '$table' is no longer readable: ${missing.size} " +
+        s"file(s) reclaimed by expireSnapshots " +
         s"(e.g. ${missing.take(3).mkString(", ")})")
-    val parts = Seq(dir(table) -> live,
-        s"${dir(table)}/_archive" -> archived)
+    Seq(dir(table) -> live, s"${dir(table)}/_archive" -> archived)
       .filter(_._2.nonEmpty)
       .map { case (base, rs) =>
-        // basePath keeps partition-column parsing anchored at each
-        // group's root, so live and archived files yield identical
-        // schemas; mergeSchema tolerates pre-evolution files
         spark.read.option("basePath", base)
           .option("mergeSchema", "true")
           .parquet(rs.map(r => s"$base/$r"): _*)
       }
-    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Incremental (CDC-style) read: the rows ADDED between snapshots
+    * `fromV` (exclusive) and `toV` (inclusive) — the Iceberg
+    * incremental-append-scan analog. Data files are immutable, so over
+    * an append-only history the manifest file-set difference IS the
+    * row delta, and the read costs one scan of only the NEW files —
+    * never a diff of two full snapshots. This is the primitive a
+    * downstream consumer polls ("give me what arrived since v"):
+    * at 100 TB the scan is sized by the delta, not the table.
+    *
+    * Exactness requires every intervening commit to be an append: a
+    * rewrite (compact) or destructive op (deleteWhere, upsert)
+    * invalidates added-files = added-rows, so those histories FAIL
+    * LOUDLY and point at [[changeDiff]] instead of returning a
+    * silently wrong delta. `fromV = 0` means "from before the first
+    * commit" (the full toV snapshot). */
+  def incrementalRead(table: String, fromV: Int, toV: Int): DataFrame = {
+    require(0 <= fromV && fromV < toV,
+      s"incrementalRead: need 0 <= fromV < toV, got v$fromV..v$toV")
+    val nonAppend = ((fromV + 1) to toV)
+      .map(v => v -> manifestOp(table, v))
+      .filterNot(_._2 == "append")
+    require(nonAppend.isEmpty,
+      s"incrementalRead: history v$fromV..v$toV of '$table' is not " +
+        s"append-only (${nonAppend.map { case (v, op) => s"v$v=$op" }
+          .mkString(", ")}); file-diff semantics would be wrong - " +
+        "use changeDiff for row-level changes across rewrites")
+    val from =
+      if (fromV == 0) Set.empty[String]
+      else readManifest(table, fromV).toSet
+    val added = readManifest(table, toV).filterNot(from)
+    readRels(table, added, s"incremental read v$fromV..v$toV")
+  }
+
+  /** Row-level change diff between ANY two snapshots: bag-semantics
+    * `exceptAll` in both directions, tagged `_change` = insert/delete.
+    * Exact across arbitrary op histories (compaction rewrites cancel
+    * out: identical rows subtract; only true row changes survive).
+    * Costs two snapshot scans + one shuffle — the fallback when
+    * [[incrementalRead]]'s append-only precondition fails. Columns are
+    * aligned across schema evolution (missing columns read as typed
+    * NULLs on the older side). `fromV = 0` diffs against empty. */
+  def changeDiff(table: String, fromV: Int, toV: Int): DataFrame = {
+    require(0 <= fromV && fromV < toV,
+      s"changeDiff: need 0 <= fromV < toV, got v$fromV..v$toV")
+    val b = load(table, toV)
+    val a = if (fromV == 0) b.limit(0) else load(table, fromV)
+    // union of both column sets, typed from whichever side has each
+    val cols = (b.schema ++ a.schema.filterNot(f =>
+      b.schema.fieldNames.contains(f.name))).toSeq
+    def aligned(df: DataFrame) = df.select(cols.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val (af, bf) = (aligned(a), aligned(b))
+    bf.exceptAll(af).withColumn("_change", lit("insert"))
+      .unionByName(af.exceptAll(bf).withColumn("_change", lit("delete")))
+  }
+
+  /** Roll the table's LIVE state back to snapshot `v` — Iceberg
+    * rollback semantics: history is preserved and the rollback is
+    * itself a new commit (readable, re-rollback-able), never a
+    * manifest deletion. Mechanics are pure renames: live files the
+    * target doesn't reference move into `_archive/`; target files
+    * that earlier rewrites archived move back to their live paths.
+    * Every other manifest stays readable — resolution is live-first-
+    * then-archive, and each file still exists at exactly one of the
+    * two. Returns the new version number. */
+  def rollbackTo(table: String, v: Int): Int = {
+    val target = readManifest(table, v).toSet
+    val root = new HPath(dir(table))
+    val fs = hadoopFs(root)
+    val live = liveFiles(table).toSet
+    (live -- target).foreach { rel =>
+      val dst = new HPath(s"${dir(table)}/_archive/$rel")
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(new HPath(root, rel), dst),
+        s"rollbackTo: cannot archive $rel")
+    }
+    (target -- live).foreach { rel =>
+      val src = new HPath(s"${dir(table)}/_archive/$rel")
+      require(fs.exists(src),
+        s"rollbackTo: snapshot v$v of '$table' is no longer " +
+          s"restorable: $rel reclaimed by expireSnapshots")
+      val dst = new HPath(root, rel)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(src, dst), s"rollbackTo: cannot restore $rel")
+    }
+    commitVersion(table, s"rollback-to-v$v")
   }
 
   /** Vacuum: keep the latest `keepLast` snapshots, drop older

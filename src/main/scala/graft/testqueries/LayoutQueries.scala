@@ -211,5 +211,102 @@ object LayoutQueries {
       UNION ALL
       SELECT 'v3', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
       FROM documents WHERE lang <> 'en' GROUP BY lang
-      ORDER BY snap, lang""")))
+      ORDER BY snap, lang""")),
+
+    // CDC incremental read (the Iceberg incremental-append-scan
+    // analog): three append commits slice documents by doc_id % 3; the
+    // declared query reads the v1->v3 and v2->v3 deltas via the
+    // manifest file-set difference — scanning ONLY the files new to
+    // each interval, never diffing snapshots — and the oracle
+    // recomputes both deltas from the source table. At 100 TB this is
+    // the "what arrived since v" primitive whose cost is sized by the
+    // delta, not the table.
+    QueryDef("q78_incremental_read",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val lake = new graft.lake.Lakehouse(s,
+          java.nio.file.Files.createTempDirectory("q78wh").toString)
+        val sch = StructType(Seq(
+          StructField("data_set_id", StringType, nullable = false),
+          StructField("problem_id", StringType, nullable = false),
+          StructField("doc_id", LongType, nullable = true),
+          StructField("lang", StringType, nullable = true),
+          StructField("n_chars", LongType, nullable = true)))
+        val docs = documents(s, d).select(
+          lit("docs").as("data_set_id"),
+          col("source").as("problem_id"),
+          col("doc_id"), col("lang"), col("n_chars"))
+        for (r <- 0 to 2)                                  // v1, v2, v3
+          lake.append("docs", docs.filter(col("doc_id") % 3 === r), sch,
+            sortCols = Seq("doc_id"))
+        def stats(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("delta", lit(tag))
+        stats(lake.incrementalRead("docs", 1, 3), "v1_to_v3")
+          .unionByName(stats(lake.incrementalRead("docs", 2, 3),
+            "v2_to_v3"))
+          .select("delta", "lang", "n_docs", "sum_chars")
+          .orderBy("delta", "lang")
+      },
+      Some("""SELECT 'v1_to_v3' AS delta, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang
+      UNION ALL
+      SELECT 'v2_to_v3', lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+      FROM documents WHERE doc_id % 3 = 2 GROUP BY lang
+      ORDER BY delta, lang""")),
+
+    // Row-level change diff + rollback under the oracle gate: append
+    // halves (v1, v2), deleteWhere(lang='en') (v3), then roll the live
+    // tree back to v2 (v4 — a NEW commit, history preserved). The
+    // declared query diffs v2->v3 (pure deletes of the 'en' rows,
+    // computed AFTER the rollback, so historical resolution through
+    // live-and-archive renames is what's being verified) and reads the
+    // post-rollback live state; the oracle recomputes both from the
+    // source table.
+    QueryDef("q79_rollback_diff",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val lake = new graft.lake.Lakehouse(s,
+          java.nio.file.Files.createTempDirectory("q79wh").toString)
+        val sch = StructType(Seq(
+          StructField("data_set_id", StringType, nullable = false),
+          StructField("problem_id", StringType, nullable = false),
+          StructField("doc_id", LongType, nullable = true),
+          StructField("lang", StringType, nullable = true),
+          StructField("n_chars", LongType, nullable = true)))
+        val docs = documents(s, d).select(
+          lit("docs").as("data_set_id"),
+          col("source").as("problem_id"),
+          col("doc_id"), col("lang"), col("n_chars"))
+        lake.append("docs", docs.filter(col("doc_id") % 2 === 0), sch,
+          sortCols = Seq("doc_id"))                            // v1
+        lake.append("docs", docs.filter(col("doc_id") % 2 =!= 0), sch,
+          sortCols = Seq("doc_id"))                            // v2
+        lake.deleteWhere("docs", sch, col("lang") === "en")    // v3
+        lake.rollbackTo("docs", 2)                             // v4
+        val diff = lake.changeDiff("docs", 2, 3)
+          .groupBy("_change", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("snap", lit("diff_v2_v3"))
+        val live = lake.load("docs").groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("_change", lit("live"))
+          .withColumn("snap", lit("after_rollback"))
+        diff.unionByName(live)
+          .select("snap", "_change", "lang", "n_docs", "sum_chars")
+          .orderBy("snap", "_change", "lang")
+      },
+      Some("""SELECT 'diff_v2_v3' AS snap, 'delete' AS _change, lang,
+        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE lang = 'en' GROUP BY lang
+      UNION ALL
+      SELECT 'after_rollback', 'live', lang, COUNT(*),
+        CAST(SUM(n_chars) AS BIGINT)
+      FROM documents GROUP BY lang
+      ORDER BY snap, _change, lang""")))
 }

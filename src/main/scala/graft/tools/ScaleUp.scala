@@ -86,9 +86,16 @@ object ScaleUp {
     scale("orders", Map("o_orderkey" -> oK, "o_custkey" -> cK))
     scale("lineitem",
       Map("l_orderkey" -> oK, "l_partkey" -> pK, "l_suppkey" -> sK))
+    // ts arrives as nanos-as-long (pre-round-6 driver testdata) or as
+    // a native micros timestamp (current driver testdata) — same
+    // type-conditional convergence to micro-truncated timestamp_ntz
+    // as testqueries.Tables.events
     scale("events", Map("event_id" -> eK, "user_id" -> uK),
-      _.withColumn("ts",
-        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")))
+      df => df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => df.withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      })
     scale("documents", Map("doc_id" -> dK))
     scale("embeddings", Map("vec_id" -> vK))
     spark.stop()

@@ -171,6 +171,65 @@ class LakehouseSpec extends SparkSpec {
     assert(e2.getMessage.contains("v99"))
   }
 
+  test("CDC: incrementalRead over appends, changeDiff across rewrites, " +
+      "rollback as a new commit") {
+    val wh = tmpDir("wh-cdc")
+    val lake = new Lakehouse(spark, wh)
+    val obs = Fixtures.observations
+    // partitioned reads surface partition columns LAST; sort columns
+    // by name so fixture-vs-lakehouse comparisons are order-free
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.filterNot(_ == "created_at").sorted.toSeq
+      df.select(cols.map(col): _*)
+        .orderBy("step_id", "implementation_id", "test_id")
+        .collect().toSeq
+    }
+    // v1..v3: three append slices
+    lake.append("observations", obs.filter(col("step_id") === 0),
+      Schemas.observations)
+    lake.append("observations", obs.filter(col("step_id") === 1),
+      Schemas.observations)
+    lake.append("observations", obs.filter(col("step_id") > 1),
+      Schemas.observations)
+    assert(lake.manifestOp("observations", 2) == "append")
+    // the incremental scan reads ONLY the new files' rows
+    assert(canon(lake.incrementalRead("observations", 1, 3)) ==
+      canon(obs.filter(col("step_id") >= 1)))
+    // fromV = 0 means the full toV snapshot
+    assert(canon(lake.incrementalRead("observations", 0, 2)) ==
+      canon(obs.filter(col("step_id") <= 1)))
+    // changeDiff on an append interval: pure inserts
+    val d12 = lake.changeDiff("observations", 1, 2)
+    assert(d12.filter(col("_change") =!= "insert").count() == 0)
+    assert(canon(d12.drop("_change")) ==
+      canon(obs.filter(col("step_id") === 1)))
+    // v4: destructive delete — incrementalRead refuses loudly
+    lake.deleteWhere("observations", Schemas.observations,
+      col("step_id") === 0)
+    val e = intercept[IllegalArgumentException] {
+      lake.incrementalRead("observations", 3, 4)
+    }
+    assert(e.getMessage.contains("deleteWhere") &&
+      e.getMessage.contains("changeDiff"))
+    // ...but changeDiff reports the deletion exactly
+    val d34 = lake.changeDiff("observations", 3, 4)
+    assert(d34.filter(col("_change") =!= "delete").count() == 0)
+    assert(canon(d34.drop("_change")) ==
+      canon(obs.filter(col("step_id") === 0)))
+    // v5: compaction rewrites files but changes no rows — empty diff
+    lake.compact("observations", Schemas.observations)
+    assert(lake.changeDiff("observations", 4, 5).count() == 0)
+    // v6: roll back to the pre-delete snapshot; history is preserved
+    val v6 = lake.rollbackTo("observations", 3)
+    assert(v6 == 6)
+    assert(lake.manifestOp("observations", 6) == "rollback-to-v3")
+    assert(canon(lake.observations) == canon(obs))
+    assert(lake.load("observations", 4)
+      .filter(col("step_id") === 0).count() == 0)
+    assert(lake.load("observations", 5).count() ==
+      lake.load("observations", 4).count())
+  }
+
   test("empty table reads as an empty typed frame, not a crash") {
     // an export with no metadata rows appends ZERO code/tests rows; the
     // table dir then has no data files and schema inference would fail —

@@ -6,7 +6,10 @@
 # Usage: tools/run.sh <mainClass> [args...]   (env vars pass through)
 set -e
 cd /root/repo
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# GRAFT_CP overrides the class dir: long gate runs point it at an
+# rsync'd snapshot so a concurrent sbt compile can't swap class files
+# under a running JVM's lazy classloading.
+CP="${GRAFT_CP:-target/scala-2.13/classes}:/opt/spark/jars/*"
 exec java -Xmx96g -XX:+UseG1GC \
   --add-exports=java.base/sun.nio.ch=ALL-UNNAMED \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
