@@ -330,6 +330,102 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     commitVersion(table, s"rollback-to-v$v")
   }
 
+  // -----------------------------------------------------------------
+  // Materialized per-group stats, maintained through CDC versions.
+  //
+  // The composition the snapshot layer exists for: a stored
+  // `GROUP BY keys -> count/sum/min/max(v)` whose refresh cost is the
+  // DELTA, not the table. Each refresh reads the CDC interval since
+  // its recorded high-water version — [[incrementalRead]] when the
+  // interval is append-only (delta-sized scan, then
+  // [[graft.ops.IncrementalAgg.merge]] keeps untouched groups out of
+  // the shuffle) — and falls back to one full recompute across
+  // rewrites/deletes, where merge cannot subtract. At 100 TB this
+  // replaces the nightly full GROUP BY with work proportional to one
+  // day's arrivals. State swaps through a per-version directory +
+  // watermark marker, so a concurrent reader sees the old state or
+  // the new — never a half-written directory.
+  // -----------------------------------------------------------------
+
+  private def mvRoot(name: String) = s"$warehouse/_mv/$name"
+
+  private def mvMarker(name: String): Option[(Int, String)] = {
+    val p = new HPath(s"${mvRoot(name)}/VERSION")
+    val fs = hadoopFs(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+        finally in.close()
+      val Array(v, sig) = line.split(" ", 2)
+      Some(v.toInt -> sig)
+    }
+  }
+
+  /** The source snapshot version [[readStats]] currently reflects;
+    * 0 = never refreshed. */
+  def statsVersion(name: String): Int = mvMarker(name).fold(0)(_._1)
+
+  /** How a [[refreshStats]] call brought the view current. */
+  sealed trait RefreshMode
+  case object RefreshNoop extends RefreshMode
+  case object RefreshIncremental extends RefreshMode
+  case object RefreshFull extends RefreshMode
+
+  /** Bring the materialized stats view `name` up to `source`'s current
+    * snapshot. Returns the mode used: [[RefreshNoop]] (already
+    * current), [[RefreshIncremental]] (append-only interval: delta
+    * scan + merge), or [[RefreshFull]] (first build, or the interval
+    * contains a rewrite/delete). The (keys, v) signature is recorded
+    * with the state and must match on every refresh — a silent
+    * signature change would merge incompatible states. */
+  def refreshStats(name: String, source: String, keys: Seq[String],
+      v: String): RefreshMode = {
+    import graft.ops.IncrementalAgg
+    val sig = s"$source|${keys.mkString(",")}|$v"
+    mvMarker(name).foreach { case (_, s) =>
+      require(s == sig,
+        s"refreshStats('$name'): signature mismatch - state was built " +
+          s"as [$s], asked to refresh as [$sig]; use a new view name")
+    }
+    val cur = currentVersion(source)
+    val last = statsVersion(name)
+    if (cur == last) return RefreshNoop
+    val appendOnly = last > 0 &&
+      ((last + 1) to cur).forall(manifestOp(source, _) == "append")
+    val state =
+      if (appendOnly)
+        IncrementalAgg.merge(readStats(name),
+          IncrementalAgg.statsOf(
+            incrementalRead(source, last, cur), keys, v), keys)
+      else IncrementalAgg.statsOf(load(source), keys, v)
+    val dst = s"${mvRoot(name)}/state-v$cur.parquet"
+    state.write.mode("overwrite").parquet(dst)
+    val p = new HPath(s"${mvRoot(name)}/VERSION")
+    val fs = hadoopFs(p)
+    val out = fs.create(p, true)
+    try out.write(s"$cur $sig\n".getBytes("UTF-8")) finally out.close()
+    // reclaim superseded state dirs (readers of the OLD marker may
+    // still be scanning — same single-writer caveat as upsert)
+    fs.listStatus(new HPath(mvRoot(name)))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("state-v") &&
+        s.getPath.getName != s"state-v$cur.parquet")
+      .foreach(s => fs.delete(s.getPath, true))
+    if (appendOnly) RefreshIncremental else RefreshFull
+  }
+
+  /** The materialized stats state as of its last [[refreshStats]]:
+    * one row per group, `(keys..., n_rows, sum_v, min_v, max_v)` —
+    * bit-identical to `IncrementalAgg.statsOf` over the source at the
+    * watermark version (monoid merge exactness, oracle q80). */
+  def readStats(name: String): DataFrame = {
+    val v = statsVersion(name)
+    require(v > 0, s"materialized view '$name' was never refreshed")
+    spark.read.parquet(s"${mvRoot(name)}/state-v$v.parquet")
+  }
+
   /** Vacuum: keep the latest `keepLast` snapshots, drop older
     * manifests, and delete archived files that no KEPT manifest
     * references. Live files are never touched. After expiry, reads of

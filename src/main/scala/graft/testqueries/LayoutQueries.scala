@@ -308,5 +308,57 @@ object LayoutQueries {
       SELECT 'after_rollback', 'live', lang, COUNT(*),
         CAST(SUM(n_chars) AS BIGINT)
       FROM documents GROUP BY lang
-      ORDER BY snap, _change, lang""")))
+      ORDER BY snap, _change, lang""")),
+
+    // Materialized stats maintained through CDC versions: the stored
+    // GROUP BY refreshed after each commit — full build at v1,
+    // DELTA-scan merge at v2 (append-only interval), full-recompute
+    // fallback at v3 (a delete makes merge impossible). The final
+    // state the oracle hashes is the product of all three refresh
+    // modes chained, so merge exactness AND the fallback decision are
+    // both under the gate. At 100 TB this is the nightly-GROUP-BY
+    // replacement: refresh cost ∝ one append's delta.
+    QueryDef("q80_materialized_stats",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val lake = new graft.lake.Lakehouse(s,
+          java.nio.file.Files.createTempDirectory("q80wh").toString)
+        val sch = StructType(Seq(
+          StructField("data_set_id", StringType, nullable = false),
+          StructField("problem_id", StringType, nullable = false),
+          StructField("k", LongType, nullable = false),
+          StructField("pri", StringType, nullable = true),
+          StructField("val", DecimalType(15, 2), nullable = true)))
+        val o = orders(s, d).filter(col("o_orderkey") % 5 === 0)
+          .select(lit("mv").as("data_set_id"),
+            col("o_orderstatus").as("problem_id"),
+            col("o_orderkey").as("k"),
+            col("o_orderpriority").as("pri"),
+            col("o_totalprice").cast("decimal(15,2)").as("val"))
+        val keys = Seq("problem_id", "pri")
+        lake.append("ord", o.filter(col("k") % 3 === 0), sch)     // v1
+        lake.refreshStats("mv_ord", "ord", keys, "val")           // full
+        lake.append("ord", o.filter(col("k") % 3 === 1), sch)     // v2
+        lake.refreshStats("mv_ord", "ord", keys, "val")           // incr
+        lake.deleteWhere("ord", sch, col("pri") === "1-URGENT")   // v3
+        lake.refreshStats("mv_ord", "ord", keys, "val")           // full
+        lake.readStats("mv_ord")
+          .select(col("problem_id"), col("pri"), col("n_rows"),
+            col("sum_v").cast("double").as("sum_v"),
+            col("min_v").cast("double").as("min_v"),
+            col("max_v").cast("double").as("max_v"))
+          .orderBy("problem_id", "pri")
+      },
+      Some("""SELECT o_orderstatus AS problem_id,
+        o_orderpriority AS pri, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+          AS sum_v,
+        CAST(MIN(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+          AS min_v,
+        CAST(MAX(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+          AS max_v
+      FROM orders
+      WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 < 2
+        AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1, 2 ORDER BY 1, 2""")))
 }

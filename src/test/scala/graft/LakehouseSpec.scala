@@ -230,6 +230,50 @@ class LakehouseSpec extends SparkSpec {
       lake.load("observations", 4).count())
   }
 
+  test("materialized stats: incremental over appends, full fallback " +
+      "across deletes, signature guard") {
+    val wh = tmpDir("wh-mv")
+    val lake = new Lakehouse(spark, wh)
+    val obs = Fixtures.observations
+    val keys = Seq("implementation_id")
+    def oneShot() = graft.ops.IncrementalAgg
+      .statsOf(lake.observations, keys, "execution_time_ms")
+      .orderBy("implementation_id").collect().toSeq
+    lake.append("observations", obs.filter(col("step_id") === 0),
+      Schemas.observations)
+    assert(lake.refreshStats("mv", "observations", keys, "execution_time_ms")
+      == lake.RefreshFull)
+    assert(lake.statsVersion("mv") == 1)
+    // append-only interval: refresh takes the DELTA path and the
+    // merged state is bit-identical to the one-shot recompute
+    lake.append("observations", obs.filter(col("step_id") > 0),
+      Schemas.observations)
+    assert(lake.refreshStats("mv", "observations", keys, "execution_time_ms")
+      == lake.RefreshIncremental)
+    assert(lake.readStats("mv").orderBy("implementation_id")
+      .collect().toSeq == oneShot())
+    // already current: noop
+    assert(lake.refreshStats("mv", "observations", keys, "execution_time_ms")
+      == lake.RefreshNoop)
+    // a delete makes merge impossible: full-recompute fallback
+    lake.deleteWhere("observations", Schemas.observations,
+      col("implementation_id") === "i1")
+    assert(lake.refreshStats("mv", "observations", keys, "execution_time_ms")
+      == lake.RefreshFull)
+    assert(lake.readStats("mv").orderBy("implementation_id")
+      .collect().toSeq == oneShot())
+    assert(lake.readStats("mv")
+      .filter(col("implementation_id") === "i1").count() == 0)
+    // refreshing the same view under a different signature fails loudly
+    val e = intercept[IllegalArgumentException] {
+      lake.refreshStats("mv", "observations", keys, "memory_used_mb")
+    }
+    assert(e.getMessage.contains("signature mismatch"))
+    // unrefreshed view reads fail loudly
+    val e2 = intercept[IllegalArgumentException] { lake.readStats("mv2") }
+    assert(e2.getMessage.contains("never refreshed"))
+  }
+
   test("empty table reads as an empty typed frame, not a crash") {
     // an export with no metadata rows appends ZERO code/tests rows; the
     // table dir then has no data files and schema inference would fail —
