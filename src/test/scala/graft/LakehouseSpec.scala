@@ -219,6 +219,11 @@ class LakehouseSpec extends SparkSpec {
     // v5: compaction rewrites files but changes no rows — empty diff
     lake.compact("observations", Schemas.observations)
     assert(lake.changeDiff("observations", 4, 5).count() == 0)
+    // the append-only check is on the INTERVAL, not what came after:
+    // v1->v2 stays incrementally readable after the compaction
+    // archived its files (delta resolves through _archive/)
+    assert(canon(lake.incrementalRead("observations", 1, 2)) ==
+      canon(obs.filter(col("step_id") === 1)))
     // v6: roll back to the pre-delete snapshot; history is preserved
     val v6 = lake.rollbackTo("observations", 3)
     assert(v6 == 6)
