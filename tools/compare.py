@@ -129,18 +129,25 @@ def main(sf_dir, out_dir):
         except Exception as e:
             msg = str(e).splitlines()[0]
             # a blown allocator poisons the connection for every later
-            # query: reconnect once and retry before recording an ERR
+            # query: reconnect and retry before recording an ERR. The
+            # reconnect itself can fail under transient host memory
+            # pressure — back off and keep the gate alive either way.
             try:
                 con.close()
             except Exception:
                 pass
-            con = connect(sf_dir)
             try:
+                time.sleep(5)
+                con = connect(sf_dir)
                 compare_one(name, sql)
                 print(f"     ({name}: reconnected after: {msg[:120]})")
             except Exception as e2:
                 print(f"ERR  {name}: {str(e2).splitlines()[0][:200]}")
                 bad += 1
+                try:
+                    con = connect(sf_dir)
+                except Exception:
+                    pass
     print(f"== {ok} ok, {bad} bad ==")
     return 1 if bad else 0
 
