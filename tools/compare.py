@@ -39,6 +39,13 @@ def connect(sf_dir):
     downstream queries ERR'd). With a temp dir, big operators go
     out-of-core instead."""
     con = duckdb.connect()
+    # cap the instance well below the default 80%-of-RAM: the limit is
+    # PER DATABASE INSTANCE, so a ballooned run plus its reconnect
+    # replacement would otherwise race for the same physical memory
+    # during teardown (observed: fresh connections failing 2 KiB
+    # allocations while the host had 120 GiB free). With a spill dir,
+    # big sorts/aggregations go out-of-core instead of ballooning.
+    con.execute("SET memory_limit='24GiB'")
     con.execute("SET temp_directory='/tmp/duckdb_compare_spill'")
     try:
         con.execute("SET max_temp_directory_size='40GiB'")
