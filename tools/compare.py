@@ -72,6 +72,19 @@ def connect(sf_dir):
 
 def compare_one(con, out_dir, name, sql):
     """Returns True iff the query matches; prints its OK/FAIL line."""
+    try:
+        return _compare_one(con, out_dir, name, sql)
+    finally:
+        # release the materialized oracle BEFORE the next query runs:
+        # a multi-GB __want left resident is exactly the headroom the
+        # next oracle needs (q08's 4.4M-row table cost q09 its run)
+        try:
+            con.execute("DROP TABLE IF EXISTS __want")
+        except Exception:
+            pass
+
+
+def _compare_one(con, out_dir, name, sql):
     t0 = time.time()
     con.execute(
         "CREATE OR REPLACE TEMP VIEW __got AS SELECT * FROM "
