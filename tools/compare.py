@@ -147,35 +147,39 @@ def main(sf_dir, out_dir):
     con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
+    poisoned = False
     for name, sql in sorted(oracle.items()):
-        try:
-            if compare_one(con, out_dir, name, sql):
-                ok += 1
-            else:
-                bad += 1
-        except Exception as e:
-            msg = str(e).splitlines()[0]
-            # the in-process connection may now be poisoned: retry the
-            # query in a fresh subprocess (crash-isolated, sole owner
-            # of the allocator), then replace our own connection too
-            sys.stdout.flush()
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one",
-                 sf_dir, out_dir, name])
-            if r.returncode == 0:
-                ok += 1
-                print(f"     ({name}: subprocess retry after: {msg[:110]})")
-            else:
-                bad += 1  # child printed its own FAIL/ERR line
+        if not poisoned:
             try:
-                con.close()
-            except Exception:
-                pass
-            try:
-                con = connect(sf_dir)
-            except Exception:
-                time.sleep(10)
-                con = connect(sf_dir)
+                if compare_one(con, out_dir, name, sql):
+                    ok += 1
+                else:
+                    bad += 1
+                continue
+            except Exception as e:
+                # DuckDB allocator exhaustion poisons the whole
+                # PROCESS: reconnects fail tiny allocations from here
+                # on (measured repeatedly on the sf3 gate). Flip to
+                # subprocess-per-query for everything remaining — each
+                # child is the sole owner of a fresh allocator, with
+                # the spill dir for oversized oracles.
+                print(f"     (in-process run poisoned at {name}: "
+                      f"{str(e).splitlines()[0][:110]}; "
+                      "switching to subprocess-per-query)")
+                sys.stdout.flush()
+                poisoned = True
+                try:
+                    con.close()
+                except Exception:
+                    pass
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one",
+             sf_dir, out_dir, name])
+        if r.returncode == 0:
+            ok += 1
+        else:
+            bad += 1  # child printed its own FAIL/ERR line
+        sys.stdout.flush()
     print(f"== {ok} ok, {bad} bad ==")
     return 1 if bad else 0
 
