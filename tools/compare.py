@@ -56,6 +56,11 @@ def connect(sf_dir):
     out-of-core fallback)."""
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/duckdb_compare_spill'")
+    # fewer threads = fewer concurrent per-thread aggregation buffers;
+    # the escape hatch for giant non-spillable oracles (list() aggs)
+    t = os.environ.get("GRAFT_COMPARE_THREADS")
+    if t:
+        con.execute(f"SET threads={int(t)}")
     try:
         con.execute("SET max_temp_directory_size='60GiB'")
     except Exception:
