@@ -4,5 +4,6 @@ package graft.testqueries
 object Registry {
   def all: Seq[QueryDef] =
     CoreQueries.all ++ TextDedupQueries.all ++ VectorEventQueries.all ++
-      CompletenessQueries.all ++ FunctionQueries.all ++ LayoutQueries.all
+      CompletenessQueries.all ++ FunctionQueries.all ++
+      LayoutQueries.all ++ MixQueries.all
 }
