@@ -70,12 +70,14 @@ case class ObservationStepAgg(
       // UTF8String comparison is BINARY (UTF-8 byte) order — the same
       // collation array_sort/max use, unlike java.lang.String.compareTo
       val vs = v.asInstanceOf[UTF8String].clone()
-      t.asInstanceOf[UTF8String].toString match {
-        case "input_value" => b.ins += ((xi, vs))
-        case "value" => b.outs += ((xi, vs))
-        case "op" =>
-          if (b.op == null || vs.compareTo(b.op) > 0) b.op = vs
-        case _ => ()
+      // TYPE dispatch against cached UTF8String constants: a per-row
+      // .toString would allocate (and UTF-8-decode) one java String per
+      // input cell on the ingest hot path
+      val tu = t.asInstanceOf[UTF8String]
+      if (tu.equals(ObservationStepAgg.tInput)) b.ins += ((xi, vs))
+      else if (tu.equals(ObservationStepAgg.tValue)) b.outs += ((xi, vs))
+      else if (tu.equals(ObservationStepAgg.tOp)) {
+        if (b.op == null || vs.compareTo(b.op) > 0) b.op = vs
       }
     }
     val e = et.eval(input)
@@ -191,6 +193,11 @@ object ObservationStepAgg {
   }
 
   private[plans] val sep: UTF8String = UTF8String.fromString(",")
+
+  private[plans] val tInput: UTF8String =
+    UTF8String.fromString("input_value")
+  private[plans] val tValue: UTF8String = UTF8String.fromString("value")
+  private[plans] val tOp: UTF8String = UTF8String.fromString("op")
 
   /** (X, VALUE) ascending, VALUE in UTF-8 binary order — identical to
     * array_sort over struct(X, VALUE). */
