@@ -79,10 +79,17 @@ object ProblemBench {
     // EliminateSorts removes the final ORDER BY (same hazard Bench.scala
     // documents for the batch path).
     def bench(name: String, q: String => DataFrame): Unit = {
-      problems.take(3).foreach(p => q(p).collect()) // warm-up
-      System.gc() // don't bill this query for a neighbor's garbage
+      problems.take(3).foreach(p => q(p).collect()) // JIT/codegen warm-up
       val times = problems.flatMap { p =>
         val df = q(p)
+        // per-problem warm collect: the FIRST execution of a problem
+        // pays parquet footer reads + OS page-cache first-touch — a
+        // one-time cost that landed 100-200 ms outliers inside the
+        // timed reps for the 17 problems the global warm-up didn't
+        // cover. BASELINE.md's numbers are warm per-problem means, so
+        // warming each problem before its reps measures like for like.
+        df.collect()
+        System.gc() // don't bill this problem for a neighbor's garbage
         (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           df.collect()
