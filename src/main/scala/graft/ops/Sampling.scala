@@ -35,6 +35,22 @@ object Sampling {
     df.filter(u(keyCol) < threshold)
   }
 
+  /** Per-row weighted sample: keep each row with its OWN probability
+    * `permille / 1000` (importance/quality-proportional sampling — the
+    * rebalancing knob when the keep rate is a per-document score, not a
+    * per-stratum constant). `permille` is an integer column in
+    * [0, 1000]; the decision compares `hash(salt:key) mod 1000` against
+    * it, so the whole predicate is integer arithmetic — bit-identical
+    * across engines and retries, with none of the FP-threshold edge
+    * cases a `rand() < p` filter has. 1000 keeps the same row on a
+    * strictly larger permille (monotone: raising a document's weight
+    * never drops it from the sample). */
+  def weightedSample(df: DataFrame, keyCol: Column, permille: Column,
+      salt: String): DataFrame =
+    df.filter(
+      pmod(Fns.portableHash60(concat(lit(s"$salt:"),
+        keyCol.cast("string"))), lit(1000L)) < permille)
+
   /** `hash(key) mod 1e6` in `[0, 1e6)` — the sampling uniformizer. */
   private def u(keyCol: Column): Column =
     pmod(Fns.portableHash60(keyCol.cast("string")), lit(M))

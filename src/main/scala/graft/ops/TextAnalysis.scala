@@ -203,4 +203,170 @@ object TextAnalysis {
         transform(split(substring(col(textCol), 1, prefixLen), ""),
           c => ascii(c)),
         lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L))
+
+  /** Word-n-gram span stream with 1-based start positions: one row per
+    * `(id, pos, s)`. The [[Dedup.shinglesRaw]] shifted-slice zip shape
+    * (stays in whole-stage codegen — the `transform` HOF form is
+    * interpreted per element and measured 8x slower on this corpus),
+    * with `posexplode` carrying the start index that plain shingling
+    * throws away. */
+  def spanStream(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val shifted = Seq(col("id"), col("w0")) ++ (1 until n).map(k =>
+      slice(col("w0"), lit(k + 1), size(col("w0")) - k).as(s"w$k"))
+    val named = docs
+      .select(col(idCol).as("id"), Fns.words(col(textCol)).as("w0"))
+      .filter(size(col("w0")) >= n)
+      .select(shifted: _*)
+    named
+      .select(col("id"), posexplode(
+        arrays_zip((0 until n).map(k => col(s"w$k")): _*)).as(Seq("p", "z")))
+      .filter(col(s"z.w${n - 1}").isNotNull)
+      .select(col("id"), (col("p") + 1).cast("long").as("pos"),
+        concat_ws(" ", (0 until n).map(k => col(s"z.w$k")): _*).as("s"))
+  }
+
+  /** Duplicated-span starts — the detection half of exact substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": verbatim n-gram spans shared across
+    * documents are memorization fuel): `(id, pos)` of every span whose
+    * exact text occurs in at least `minDf` DISTINCT documents.
+    *
+    * Scale shape: spans meet in ONE aggregation on a 60-bit span hash
+    * (fixed-width shuffle key, never the span text — the
+    * [[Dedup.ngramJaccard]] discipline; a false hit needs an md5-60bit
+    * collision among distinct spans, ~n²/2^61), and the surviving dup
+    * set — bounded by TRUE cross-document duplication, not corpus
+    * size — joins back hash-clustered. The span stream has two
+    * consumers (the df aggregation + the join-back), so it is
+    * localCheckpoint'd once rather than exploded twice. */
+  def dupSpanStarts(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    val sp = spanStream(docs, idCol, textCol, n)
+      .select(col("id"), col("pos"), Fns.portableHash60(col("s")).as("h"))
+      .localCheckpoint(false)
+    val dup = sp.groupBy("h")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"))
+    sp.join(dup, Seq("h")).select(col("id"), col("pos"))
+  }
+
+  /** Exact duplicated-substring removal: every word position covered by
+    * a duplicated span ([[dupSpanStarts]] — a span at start `s` covers
+    * positions `[s, s+n-1]`) is dropped and the survivors are rejoined
+    * in order. Adds `n_removed` and `clean_text` (NULL when the whole
+    * document was duplicated spans). Returns one row per input row;
+    * documents with no duplicated span pass through with their text
+    * intact and `n_removed = 0`.
+    *
+    * Scale shape: dup starts aggregate to ONE small array per affected
+    * document (bounded by that document's own length, not the corpus)
+    * and join back on the id — the word stream itself never rides a
+    * shuffle. Coverage is then a per-row masked filter over the words
+    * array; the per-position `exists` over the start list is quadratic
+    * only in the DOCUMENT's own dup-span count, and the interpreted
+    * HOF cost is confined to the (duplication-bounded) joined rows'
+    * arrays — unlike the corpus-wide span stream, which stays codegen. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    val starts = dupSpanStarts(docs, idCol, textCol, n, minDf)
+      .groupBy(col("id").as("__sid"))
+      .agg(collect_list(col("pos")).as("__ds"))
+    val joined = docs.join(starts, col(idCol) === col("__sid"), "left")
+    val ws = Fns.words(col(textCol))
+    val ds = coalesce(col("__ds"), array().cast("array<long>"))
+    val keep = filter(ws, (w, i) =>
+      !exists(ds, s => s <= i + 1 && i + 1 < s + n))
+    joined
+      .withColumn("__keep", keep)
+      .withColumn("n_removed",
+        (size(ws) - size(col("__keep"))).cast("long"))
+      .withColumn("clean_text",
+        when(size(col("__keep")) > 0, array_join(col("__keep"), " ")))
+      .drop("__sid", "__ds", "__keep")
+  }
+
+  /** CCNet-style unigram language-model quality score (Wenzek et al.
+    * 2020 filter corpora by LM perplexity; the unigram case is the
+    * join-expressible core): each document's mean negative natural
+    * log-probability per word under the corpus's OWN unigram model.
+    * Low = stereotypical text, high = rare-word soup. Returns
+    * `(id, n_words, lm_nll)`.
+    *
+    * Cross-engine determinism: the only libm call (`ln`) is rounded to
+    * 6 dp per WORD TYPE (the q74 discipline) and per-document totals
+    * are exact decimal sums of those rounded values, so summation
+    * order — which Spark and DuckDB disagree on — cannot change the
+    * result; the final per-word mean is a single double division.
+    * Scale shape: one aggregation over the word stream builds the
+    * vocabulary; the probability table joins back on the word (small
+    * side broadcast by AQE at bounded vocabularies; at web-scale
+    * vocabularies the same equi-join shuffles hash-clustered). */
+  def unigramLmScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = docs.select(col(idCol).as("id"),
+      explode(Fns.words(col(textCol))).as("w"))
+    val counts = w.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("tot"))
+    val probs = counts.crossJoin(broadcast(total))
+      .select(col("w"),
+        round(-log(col("cnt").cast("double") / col("tot").cast("double")),
+          6).cast("decimal(28,6)").as("nll"))
+    w.join(probs, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        (sum(col("nll")).cast("double") / count(lit(1))).as("lm_nll"))
+  }
+
+  /** BM25 ranking (Robertson-Spärck Jones; the retrieval scorer behind
+    * corpus search and RAG recall baselines): top-`topK` documents for
+    * a bag of query `terms`. idf uses the +1 form (Lucene's, always
+    * positive); document length normalizes against the corpus mean.
+    *
+    * Cross-engine determinism: libm `ln` is rounded to 6 dp per TERM,
+    * per-(doc, term) partial scores are rounded to 6 dp and totaled as
+    * exact decimals (order-free), and every other step is IEEE
+    * arithmetic on identically-derived doubles. Derived constants
+    * (k1+1, 1-b) are computed ONCE here and interpolated into the SQL
+    * mirror via Double.toString round-tripping, so both engines
+    * multiply by bit-identical values.
+    *
+    * Scale shape: the term filter lands in the scan (a handful of query
+    * terms), so only matching words reach the per-(doc, term)
+    * aggregation; df and the 1-row corpus stats broadcast; the final
+    * top-k is a TakeOrdered, never a global sort. */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one query term")
+    val base = docs.select(col(idCol).as("id"),
+      Fns.words(col(textCol)).as("__ws"))
+      .select(col("id"), size(col("__ws")).cast("long").as("len"),
+        col("__ws"))
+    val stats = base.agg(count(lit(1)).as("nn"),
+      sum(col("len").cast("decimal(28,0)")).cast("double").as("sumlen"))
+    val tf = base
+      .select(col("id"), col("len"), explode(col("__ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("id"), col("len"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val avgdl = col("sumlen") / col("nn")
+    val idf = round(log((col("nn") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0), 6)
+    val part = (col("tf") * lit(k1p1)) /
+      (col("tf") + lit(k1) *
+        (lit(oneMinusB) + (lit(b) * col("len")) / avgdl))
+    tf.join(broadcast(dft), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        round(idf * part, 6).cast("decimal(28,6)").as("st"))
+      .groupBy(col("id"))
+      .agg(sum(col("st")).cast("double").as("bm25"))
+      .orderBy(desc("bm25"), col("id"))
+      .limit(topK)
+  }
 }

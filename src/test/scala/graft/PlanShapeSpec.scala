@@ -97,7 +97,10 @@ class PlanShapeSpec extends SparkSpec {
       "q71_gapfill_resample" -> ("1-row global min/max bounds aggregate " +
         "feeding the hour grid (the output sort is a parallel range " +
         "sort)"),
-      "q73_fuzzy_join" -> "threshold-filtered pair list")
+      "q73_fuzzy_join" -> "threshold-filtered pair list",
+      "q85_bm25_topk" -> ("broadcast 1-row corpus-stats aggregate " +
+        "(N + total length); the ranking itself is a TakeOrdered, " +
+        "not a global sort"))
     // q58 excluded: building its frame executes the full
     // write→stream→append loop (side effects, ~seconds); its final
     // query is perProblemStats, which ends in a parallel orderBy.
