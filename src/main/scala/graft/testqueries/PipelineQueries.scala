@@ -1,0 +1,148 @@
+package graft.testqueries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.ops.{Funnels, Graphs, Packing}
+
+/** Pipeline operators, batch 3 — ordered event funnels, corpus-level
+  * sequence packing (concat-and-cut batch assembly), and
+  * fixed-iteration PageRank. Funnels/PageRank extend the events/graph
+  * analytics surface (the reference stops at per-problem aggregation);
+  * packing is the training-loader step after [[MixQueries]]' mixture
+  * and shuffle-order queries.
+  */
+object PipelineQueries {
+  import Tables._
+
+  /** Funnel stages: the three event types whose ordered path
+    * signup -> purchase -> error the synthetic events table populates
+    * at every scale factor. */
+  private val FunnelStages = Seq("signup", "purchase", "error")
+
+  /** Tokens per packing bin. Small enough that sf0.01 documents span
+    * multiple bins (docs average ~50 words), large enough that several
+    * documents share one bin — both branches of the interval/bin
+    * arithmetic are exercised. */
+  private val PackBudget = 128L
+
+  /** PageRank iterations: enough rounds that rank has flowed across
+    * the bipartite customer-supplier graph twice; unrolled verbatim in
+    * the oracle's CTE chain. Damping 85/100 as an exact rational — the
+    * whole recurrence is integer micro-unit arithmetic (see
+    * [[graft.ops.Graphs]]: 6-dp FP rounding diverges between engines
+    * exactly at the half-tie quotients PageRank produces). */
+  private val PrIters = 3
+  private val PrDampNum = 85L
+  private val PrDampDen = 100L
+  private val PrTeleportU =
+    ((PrDampDen - PrDampNum) * 1000000L) / PrDampDen
+
+  def all: Seq[QueryDef] = Seq(
+
+    // Ordered funnel over events: per stage, how many users reach it
+    // (stage k counts only events strictly after the user's stage-k-1
+    // time) and the exact integer sum of micros from each user's
+    // stage-0 time. One exchange + one sort + k chained running-min
+    // windows — no per-stage self-joins (the oracle spells out the
+    // k-join formulation the Spark side avoids).
+    QueryDef("q87_event_funnel",
+      (s, d) => Funnels.funnelCounts(events(s, d), "user_id", "ts",
+        "event_type", FunnelStages),
+      Some("""WITH e AS (
+          SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+            event_type AS et
+          FROM events),
+        s0 AS (SELECT u, MIN(us) AS t0 FROM e
+               WHERE et = 'signup' GROUP BY u),
+        s1 AS (SELECT e.u, MIN(us) AS t1 FROM e JOIN s0 USING (u)
+               WHERE et = 'purchase' AND us > t0 GROUP BY e.u),
+        s2 AS (SELECT e.u, MIN(us) AS t2 FROM e JOIN s1 USING (u)
+               WHERE et = 'error' AND us > t1 GROUP BY e.u)
+        SELECT * FROM (
+          SELECT 0 AS stage, 'signup' AS stage_name,
+            COUNT(*)::BIGINT AS n_users, 0::BIGINT AS sum_us_from_start
+          FROM s0 HAVING COUNT(*) > 0
+          UNION ALL
+          SELECT 1, 'purchase', COUNT(*)::BIGINT,
+            SUM(t1 - t0)::BIGINT
+          FROM s1 JOIN s0 USING (u) HAVING COUNT(*) > 0
+          UNION ALL
+          SELECT 2, 'error', COUNT(*)::BIGINT, SUM(t2 - t0)::BIGINT
+          FROM s2 JOIN s0 USING (u) HAVING COUNT(*) > 0)
+        ORDER BY stage""")),
+
+    // Concat-and-cut sequence packing: global token offsets under
+    // doc_id concat order, cut into 128-token bins. The Spark side is
+    // a two-phase distributed prefix sum (range sort + parallel
+    // per-partition windows + P-row offset broadcast); the oracle is
+    // the single-threaded window cumsum the distributed form must
+    // equal bit-for-bit.
+    QueryDef("q88_token_packing",
+      (s, d) => Packing.packTokens(documents(s, d), "doc_id",
+        size(Fns.words(col("text"))), PackBudget)
+        .sortWithinPartitions("doc_id"),
+      Some(s"""WITH t AS (
+          SELECT doc_id,
+            len(string_split_regex(trim(text), '\\s+'))::BIGINT
+              AS n_toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_toks,
+            SUM(n_toks) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING)::BIGINT AS tok_end
+          FROM t)
+        SELECT doc_id, n_toks, tok_end - n_toks AS tok_start,
+          tok_end,
+          (tok_end - n_toks) // ${PackBudget} AS bin_start,
+          GREATEST(tok_end - n_toks, tok_end - 1) // ${PackBudget}
+            AS bin_end
+        FROM c ORDER BY doc_id""")),
+
+    // Fixed-iteration PageRank on the undirected bipartite
+    // customer-supplier graph (an edge per distinct (custkey, suppkey)
+    // pair appearing in an order). Each round: one edge-list join +
+    // one aggregation; the recurrence is pure integer micro-unit
+    // arithmetic (rational damping, floor-div contributions, integer
+    // sums), so the oracle's unrolled three-CTE chain replays it
+    // bit-for-bit with no rounding semantics in play.
+    QueryDef("q89_pagerank", {
+      (s, d) =>
+        val edges = orders(s, d)
+          .join(lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+        QueryDef.sortedP(
+          Graphs.pageRankUndirected(edges, "src", "dst", PrIters,
+            PrDampNum, PrDampDen),
+          col("node"))
+    },
+      Some {
+        def step(prev: String, out: String): String =
+          s"""$out AS (
+            SELECT e.dst AS node,
+              (${PrTeleportU} + SUM(
+                (${PrDampNum} * r.rank_u) // (${PrDampDen} * e.deg)
+              ))::BIGINT AS rank_u
+            FROM ed e JOIN $prev r ON e.src = r.node
+            GROUP BY e.dst)"""
+        s"""WITH raw AS (
+            SELECT DISTINCT 'c' || o.o_custkey AS src,
+              's' || l.l_suppkey AS dst
+            FROM orders o JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey),
+          sym AS (
+            SELECT src, dst FROM raw
+            UNION SELECT dst AS src, src AS dst FROM raw),
+          dg AS (SELECT src AS node, COUNT(*)::BIGINT AS deg
+                 FROM sym GROUP BY src),
+          ed AS (SELECT s.src, s.dst, d.deg FROM sym s
+                 JOIN dg d ON s.src = d.node),
+          r0 AS (SELECT node, 1000000::BIGINT AS rank_u FROM dg),
+          ${step("r0", "r1")},
+          ${step("r1", "r2")},
+          ${step("r2", "r3")}
+          SELECT node, CAST(rank_u AS DOUBLE) / 1000000.0 AS rank
+          FROM r3 ORDER BY node"""
+      }))
+}

@@ -5,5 +5,6 @@ object Registry {
   def all: Seq[QueryDef] =
     CoreQueries.all ++ TextDedupQueries.all ++ VectorEventQueries.all ++
       CompletenessQueries.all ++ FunctionQueries.all ++
-      LayoutQueries.all ++ MixQueries.all ++ TrainingDataQueries.all
+      LayoutQueries.all ++ MixQueries.all ++ TrainingDataQueries.all ++
+      PipelineQueries.all
 }
