@@ -2,7 +2,7 @@ package graft.testqueries
 
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.ops.{Funnels, Graphs, Packing}
+import graft.ops.{BpeTrain, Funnels, Graphs, Packing, Sketches}
 
 /** Pipeline operators, batch 3 — ordered event funnels, corpus-level
   * sequence packing (concat-and-cut batch assembly), and
@@ -36,6 +36,21 @@ object PipelineQueries {
   private val PrDampDen = 100L
   private val PrTeleportU =
     ((PrDampDen - PrDampNum) * 1000000L) / PrDampDen
+
+  /** BPE merges to learn in q90: enough rounds that multi-character
+    * subwords merge with each other on the synthetic vocabulary. */
+  private val BpeK = 8
+
+  /** Count-Min geometry for q91/q92: width 64 over a few hundred
+    * distinct users at sf0.01 forces real collisions (est > exact for
+    * some keys) while the 4 independent rows keep most estimates
+    * exact — both sides of the guarantee are exercised, and the
+    * geometry stays fixed as the corpus scales. */
+  private val CmDepth = 4
+  private val CmWidth = 64
+  private val cmFamilySql = (0 until CmDepth)
+    .map(j => s"(${j}, ${Fns.hashA(j)}, ${Fns.hashB(j)})")
+    .mkString(", ")
 
   def all: Seq[QueryDef] = Seq(
 
@@ -144,5 +159,76 @@ object PipelineQueries {
           ${step("r2", "r3")}
           SELECT node, CAST(rank_u AS DOUBLE) / 1000000.0 AS rank
           FROM r3 ORDER BY node"""
-      }))
+      }),
+
+    // BPE merge learning on the corpus word-frequency table. Each
+    // merge depends on all earlier merges (inherently iterative, no
+    // single-statement SQL form — rows-only oracle); the textbook
+    // example corpus is spec-asserted by hand in PipelineOpsSpec, and
+    // determinism comes from the count-then-lexicographic tie-break.
+    QueryDef("q90_bpe_merges",
+      (s, d) => BpeTrain.learnMerges(documents(s, d), col("text"),
+          BpeK)
+        .orderBy("rank"),
+      None),
+
+    // Count-Min sketch build over the events key: the shuffle is
+    // sketch-sized (map-side combine collapses each task to at most
+    // depth*width rows), and every counter replays exactly in DuckDB
+    // because the hash family is the portable md5-derived one.
+    QueryDef("q91_countmin_sketch",
+      (s, d) => Sketches.countMin(events(s, d), col("user_id"),
+          CmDepth, CmWidth)
+        .orderBy("j", "bucket"),
+      Some(s"""WITH h AS (
+          SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+            ::BIGINT % ${Fns.HashP}) AS h
+          FROM events),
+        bk AS (
+          SELECT f.j, ((f.a * h.h + f.b) % ${Fns.HashP}) % ${CmWidth}
+            AS bucket
+          FROM h, (VALUES ${cmFamilySql}) AS f(j, a, b))
+        SELECT j, bucket, COUNT(*) AS cnt
+        FROM bk GROUP BY j, bucket ORDER BY j, bucket""")),
+
+    // Sketch point estimates vs exact counts per key — the classic
+    // one-sided guarantee (est >= exact, equality unless all depth
+    // buckets collide) becomes a checkable table.
+    QueryDef("q92_sketch_estimates", {
+      (s, d) =>
+        val ev = events(s, d)
+        val sk = Sketches.countMin(ev, col("user_id"), CmDepth, CmWidth)
+        val exact = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("exact_n"))
+        val est = Sketches
+          .cmEstimate(sk, ev.select(col("user_id")).distinct(),
+            col("user_id"), CmDepth, CmWidth)
+          .select(col("key").as("user_id"), col("est").as("est_n"))
+        QueryDef.sortedP(exact.join(est, "user_id"), col("user_id"))
+    },
+      Some(s"""WITH h AS (
+          SELECT user_id,
+            (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              ::BIGINT % ${Fns.HashP}) AS h
+          FROM events),
+        bk AS (
+          SELECT user_id, f.j,
+            ((f.a * h.h + f.b) % ${Fns.HashP}) % ${CmWidth} AS bucket
+          FROM h, (VALUES ${cmFamilySql}) AS f(j, a, b)),
+        sk AS (
+          SELECT j, bucket, COUNT(*) AS cnt
+          FROM bk GROUP BY j, bucket),
+        ex AS (
+          SELECT user_id, COUNT(*) AS exact_n
+          FROM events GROUP BY user_id),
+        probes AS (
+          SELECT DISTINCT user_id, j, bucket FROM bk),
+        est AS (
+          SELECT p.user_id, MIN(COALESCE(sk.cnt, 0)) AS est_n
+          FROM probes p LEFT JOIN sk USING (j, bucket)
+          GROUP BY p.user_id)
+        SELECT user_id, exact_n, est_n
+        FROM ex JOIN est USING (user_id)
+        ORDER BY user_id"""))
+  )
 }

@@ -2,9 +2,10 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.ops.{Funnels, Graphs, Packing}
+import graft.ops.{BpeTrain, Funnels, Graphs, Packing, Sketches}
 
-/** Ordered funnels, corpus sequence packing, fixed-iteration PageRank. */
+/** Ordered funnels, corpus sequence packing, fixed-iteration PageRank,
+  * Count-Min sketches, and BPE merge learning. */
 class PipelineOpsSpec extends SparkSpec {
   import TestSpark.spark.implicits._
 
@@ -111,5 +112,71 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("src", "dst")
     val r = Graphs.pageRankUndirected(cyc, "src", "dst", 3).collect()
     assert(r.forall(_.getDouble(1) == 1.0))
+  }
+
+  test("countmin: estimates dominate exact counts; exact when no collision") {
+    val keys = (1L to 200L).flatMap(k => Seq.fill((k % 5 + 1).toInt)(k))
+    val df = keys.toDF("k")
+    val sk = Sketches.countMin(df, col("k"), 2, 8)
+    // sketch total mass per row j equals the input cardinality
+    val mass = sk.groupBy("j").agg(sum("cnt").as("m")).collect()
+    assert(mass.length == 2 && mass.forall(_.getLong(1) == keys.size))
+    val est = Sketches
+      .cmEstimate(sk, df.select(col("k")).distinct(), col("k"), 2, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // one-sided guarantee on every key
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"key $k") }
+    // 200 keys into an 8-wide 2-deep sketch: collisions must occur
+    assert(exact.exists { case (k, n) => est(k) > n })
+  }
+
+  test("countmin: sketches of disjoint corpora merge by bucket addition") {
+    val a = (1L to 50L).toDF("k")
+    val b = (51L to 120L).toDF("k")
+    val merged = Sketches.countMin(a.union(b), col("k"), 3, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val summed = Sketches.countMin(a, col("k"), 3, 16)
+      .union(Sketches.countMin(b, col("k"), 3, 16))
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == summed)
+  }
+
+  test("bpe: textbook corpus learns (l,o), (lo,w), (low,e) in order") {
+    val docs = Seq((1L, "low lower lowest")).toDF("doc_id", "text")
+    val m = BpeTrain.learnMerges(docs, col("text"), 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq(
+      ("l", "o", "lo", 3L), ("lo", "w", "low", 3L), ("low", "e", "lowe", 2L)))
+  }
+
+  test("bpe: word frequency weights the pair counts") {
+    // 'aa' appears 3 times, 'ab' once -> (a,a) with weight 3 wins over
+    // the lexicographically-smaller-pair rule only through its count
+    val docs = Seq((1L, "aa aa ab aa")).toDF("doc_id", "text")
+    val m = BpeTrain.learnMerges(docs, col("text"), 1).collect().head
+    assert((m.getString(1), m.getString(2), m.getLong(4)) == ("a", "a", 3L))
+  }
+
+  test("bpe: merge application is leftmost-non-overlapping") {
+    // 'llll' under merge (l,l): -> (ll)(ll), then (ll,ll) merges next
+    val docs = Seq((1L, "llll")).toDF("doc_id", "text")
+    val m = BpeTrain.learnMerges(docs, col("text"), 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m.toSeq == Seq(("l", "l", 3L), ("ll", "ll", 1L)))
+  }
+
+  test("bpe: tokenCountWithMerges applies the learned chain") {
+    val docs = Seq((1L, "low lower"), (2L, "wow")).toDF("doc_id", "text")
+    val out = BpeTrain.tokenCountWithMerges(docs, "doc_id", col("text"),
+      Seq(("l", "o"), ("lo", "w")))
+      .orderBy("doc_id").collect()
+    // doc 1: 'low' -> [low] (1), 'lower' -> [low, e, r] (3)
+    assert(out(0).getLong(1) == 4L)
+    // doc 2: 'wow' -> [w, o, w] untouched (no 'lo' to seed the chain)
+    assert(out(1).getLong(1) == 3L)
   }
 }
