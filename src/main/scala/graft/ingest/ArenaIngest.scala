@@ -90,6 +90,13 @@ object ArenaIngest {
     if (cells.columns.contains("__shard")) base :+ col("__shard") else base
   }
 
+  /** Delimiter for the packed regroup key. Arena identifiers are
+    * alphanumeric tokens (`arena.py` builds them from system/sheet
+    * names); a \u0001 inside a key value would merge two groups, so the
+    * packing assumes delimiter-free, non-null key columns — the same
+    * precondition the reference's pandas groupby relies on. */
+  private val KeySep = "\u0001"
+
   /** Cell-level rows → one observation row per sequence-sheet step
     * (`arena.py:58-149`). `dataSetId` is injected as a literal, as the
     * reference does. Oracle rows are excluded at ingest
@@ -100,45 +107,70 @@ object ArenaIngest {
   def observationsFromArena(raw: DataFrame, dataSetId: String): DataFrame = {
     // drop sheet metadata and oracle rows (arena.py:101-103)
     val cells = raw.filter(col("Y") > -1 && col("SYSTEMID") =!= "oracle")
-    cells
-      .groupBy(regroupKeys(cells): _*)
+    // Shuffle-slimming (measured on IngestBench): the six non-problem
+    // key strings pack into ONE delimited string and TYPE collapses to
+    // a byte code BEFORE the exchange — an UnsafeRow field costs 8
+    // bytes of offset + 8-byte-padded data, so 12 fields of short
+    // strings were ~200 B/row of mostly overhead; the packed row is
+    // ~half that, and the regroup hashes/compares 3 key fields instead
+    // of 8. ABSTRACTIONID stays its own column: hash-partitioning on it
+    // (clusterByProblem) must remain a subset of the grouping keys so
+    // the aggregation adds no second exchange. Keys are restored by one
+    // split over the AGGREGATED rows (one per group, not per cell).
+    val keyCols =
+      if (cells.columns.contains("__shard"))
+        Seq(col("ABSTRACTIONID"), col("__shard"), col("__k"))
+      else Seq(col("ABSTRACTIONID"), col("__k"))
+    val packed = cells.select(
+      col("ABSTRACTIONID") +:
+        (if (cells.columns.contains("__shard")) Seq(col("__shard"))
+         else Nil) :+
+        concat_ws(KeySep, col("EXECUTIONID"), col("SYSTEMID"),
+          col("VARIANTID"), col("ADAPTERID"), col("SHEETID"),
+          col("ARENAID"), col("Y").cast("string")).as("__k") :+
+        col("X").cast("int").as("X") :+
+        when(col("TYPE") === "input_value", lit(1))
+          .when(col("TYPE") === "value", lit(2))
+          .when(col("TYPE") === "op", lit(3))
+          .otherwise(lit(0)).cast("byte").as("__t") :+
+        col("VALUE").cast("string").as("VALUE") :+
+        col("EXECUTIONTIME").cast("double").as("EXECUTIONTIME"): _*)
+    val parts = split(col("__k"), KeySep)
+    packed
+      .groupBy(keyCols: _*)
       // the regroup's five aggregate expressions (two ordered string
       // concats + three conditional MAXes, arena.py:83-93) fused into
       // ONE native TypedImperativeAggregate — one buffer per group, one
       // sort at eval, no HOF chains (bit-parity spec-asserted against
-      // the composed form below; measured on the ingest hot path)
+      // the composed form below; measured on the ingest hot path).
+      // specified_oracle is constant false here — the filter above
+      // removed oracle systems — so the aggregate takes the literal
+      // instead of re-testing SYSTEMID per cell.
       .agg(graft.plans.ObservationStepAgg.agg(
-        col("X").cast("int"), col("TYPE"), col("VALUE").cast("string"),
-        col("EXECUTIONTIME").cast("double"),
-        col("SYSTEMID") === "oracle").as("c"))
-      .withColumns(Map(
-        "inputs" -> col("c.inputs"),
-        "output" -> col("c.output"),
-        "operation" -> col("c.operation"),
-        "execution_time_ms" -> col("c.execution_time_ms"),
-        "specified_oracle" -> col("c.specified_oracle")))
+        col("X"), col("__t"), col("VALUE"),
+        col("EXECUTIONTIME"), lit(false)).as("c"))
       .select(
         lit(dataSetId).as("data_set_id"),
         col("ABSTRACTIONID").as("problem_id"),
-        implementationId(col("SYSTEMID"), col("VARIANTID"),
-          col("ADAPTERID")).as("implementation_id"),
-        col("SHEETID").as("test_id"),
+        implementationId(parts(1), parts(2), parts(3))
+          .as("implementation_id"),
+        parts(4).as("test_id"),
         lit("").as("implementation_hash"),
         lit("").as("test_hash"),
-        col("EXECUTIONID").as("run_id"),
-        col("ARENAID").as("environment_id"),
-        col("Y").cast("int").as("step_id"),
-        col("operation"),
-        col("inputs"),
-        col("output"),
-        col("execution_time_ms"),
+        parts(0).as("run_id"),
+        parts(5).as("environment_id"),
+        parts(6).cast("int").as("step_id"),
+        col("c.operation").as("operation"),
+        col("c.inputs").as("inputs"),
+        col("c.output").as("output"),
+        col("c.execution_time_ms").as("execution_time_ms"),
         lit(null).cast("double").as("memory_used_mb"),
         lit(null).cast("double").as("branch_coverage_percent"),
         current_timestamp().as("created_at"),
         lit(null).cast("string").as("git_commit_hash"),
         lit(null).cast("string").as("ci_pipeline_id"),
         lit(null).cast("string").as("researcher_name"),
-        col("specified_oracle"))
+        col("c.specified_oracle").as("specified_oracle"))
   }
 
   /** The regroup's aggregation in pure built-ins (two

@@ -46,17 +46,24 @@ case class ObservationStepAgg(
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = x.dataType == IntegerType && typ.dataType == StringType &&
+    val ok = x.dataType == IntegerType &&
+      (typ.dataType == StringType || typ.dataType == ByteType) &&
       value.dataType == StringType && et.dataType == DoubleType &&
       isOracle.dataType == BooleanType
     if (ok)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "graft_observation_step needs (int X, string TYPE, string VALUE, " +
-          "double EXECUTIONTIME, boolean isOracle), got " +
+        "graft_observation_step needs (int X, string|byte TYPE, " +
+          "string VALUE, double EXECUTIONTIME, boolean isOracle), got " +
           children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
   }
+
+  /** TYPE arrives either as the raw export string or as the ingest
+    * path's pre-shuffle byte code (1=input_value, 2=value, 3=op —
+    * encoding the dispatch once per cell BEFORE the exchange instead
+    * of per-buffer-update after it). */
+  private lazy val byteTyped = typ.dataType == ByteType
 
   override def createAggregationBuffer(): Buf = new Buf
 
@@ -70,14 +77,24 @@ case class ObservationStepAgg(
       // UTF8String comparison is BINARY (UTF-8 byte) order — the same
       // collation array_sort/max use, unlike java.lang.String.compareTo
       val vs = v.asInstanceOf[UTF8String].clone()
-      // TYPE dispatch against cached UTF8String constants: a per-row
-      // .toString would allocate (and UTF-8-decode) one java String per
-      // input cell on the ingest hot path
-      val tu = t.asInstanceOf[UTF8String]
-      if (tu.equals(ObservationStepAgg.tInput)) b.ins += ((xi, vs))
-      else if (tu.equals(ObservationStepAgg.tValue)) b.outs += ((xi, vs))
-      else if (tu.equals(ObservationStepAgg.tOp)) {
-        if (b.op == null || vs.compareTo(b.op) > 0) b.op = vs
+      if (byteTyped) {
+        (t.asInstanceOf[Byte]: @annotation.switch) match {
+          case 1 => b.ins += ((xi, vs))
+          case 2 => b.outs += ((xi, vs))
+          case 3 =>
+            if (b.op == null || vs.compareTo(b.op) > 0) b.op = vs
+          case _ => ()
+        }
+      } else {
+        // TYPE dispatch against cached UTF8String constants: a per-row
+        // .toString would allocate (and UTF-8-decode) one java String
+        // per input cell on the ingest hot path
+        val tu = t.asInstanceOf[UTF8String]
+        if (tu.equals(ObservationStepAgg.tInput)) b.ins += ((xi, vs))
+        else if (tu.equals(ObservationStepAgg.tValue)) b.outs += ((xi, vs))
+        else if (tu.equals(ObservationStepAgg.tOp)) {
+          if (b.op == null || vs.compareTo(b.op) > 0) b.op = vs
+        }
       }
     }
     val e = et.eval(input)

@@ -21,7 +21,16 @@ class CatalogSmokeSpec extends SparkSpec {
 
   test("oracle SQL exists for every query and mentions its tables") {
     val oracles = SparkEntry.oracleSql
-    assert(oracles.size == graft.testqueries.Registry.all.size)
+    // Rows-only queries (driver contract: "omit for non-SQL-expressible
+    // ops") must be EXPLICITLY justified here — everything else needs a
+    // full oracle, so a forgotten `None` cannot silently weaken a gate.
+    val rowsOnly = Set(
+      "q90_bpe_merges" // inherently iterative (merge k needs merges <k)
+    )
+    assert(
+      oracles.size + rowsOnly.size == graft.testqueries.Registry.all.size)
+    assert(rowsOnly.forall(n => !oracles.contains(n)),
+      "rows-only allowlist names a query that HAS an oracle")
     // single-row global aggregates need no ORDER BY
     val singleRow = Set("q11_two_level_agg")
     oracles.foreach { case (name, sql) =>
