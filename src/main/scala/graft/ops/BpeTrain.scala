@@ -93,6 +93,47 @@ object BpeTrain {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_cnt")
   }
 
+  /** BPE inference via sequential literal string replacement — the
+    * fast, oracle-expressible form of [[tokenCountWithMerges]].
+    *
+    * Encoding trick: wrap every symbol in its OWN delimiter pair
+    * (`h e l l o` → `|h||e||l||l||o|`), then apply merge (l, r) as the
+    * literal replace `|l||r|` → `|lr|`. Because adjacent symbol pairs
+    * share no characters under individual wrapping, a standard
+    * leftmost-scan replace-all (Java `String.replace`, DuckDB
+    * `replace`) consumes matches left to right, resumes AFTER each
+    * replacement, and cannot rematch text it just produced — exactly
+    * the leftmost-non-overlapping fold semantics of [[applyMerge]]
+    * (`l l l` → `(ll) l`; property-asserted equal in the spec). Every
+    * step is a codegen'd `StringReplace`, no lambda interpretation,
+    * and the identical replace chain runs verbatim in SQL.
+    *
+    * The delimiter is stripped from input words first (a tokenizer
+    * normalization, applied identically by the oracle), so text
+    * containing `|` cannot forge symbol boundaries.
+    *
+    * Returns one row per document: (id, n_words, n_subword_tokens).
+    */
+  def encodeTokenCounts(docs: DataFrame, idCol: String,
+      textCol: Column, merges: Seq[(String, String)]): DataFrame = {
+    // |c| per character, after stripping the delimiter itself
+    val wrapped = regexp_replace(
+      regexp_replace(col("w"), "\\|", ""), "(.)", "|$1|")
+    val encoded = merges.foldLeft(wrapped) { case (acc, (l, r)) =>
+      org.apache.spark.sql.functions.replace(acc,
+        lit(s"|$l||$r|"), lit(s"|$l$r|"))
+    }
+    // each symbol carries exactly two '|'
+    val nSub = ((length(encoded) -
+      length(org.apache.spark.sql.functions.replace(encoded, lit("|"),
+        lit("")))) / 2).cast("long")
+    docs.select(col(idCol), explode(Fns.words(textCol)).as("w"))
+      .select(col(idCol), nSub.as("n_sub"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subword_tokens"))
+  }
+
   /** Tokenize text with an already-learned merge list (the inference
     * side): per word, apply the merges in rank order; output one row
     * per document with its subword token count — the signal a packing

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 
@@ -34,6 +34,28 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn", "__digest")
   }
+
+  /** Canonical text form for normalization-invariant dedup: case fold,
+    * strip every non-alphanumeric rune (punctuation, markup remnants,
+    * zero-width junk — the edits crawl mirrors most often disagree on),
+    * collapse runs of whitespace to one space, trim. Exposed so callers
+    * and the oracle share ONE definition. */
+  def canonicalText(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(textCol), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
+  /** Normalization-invariant exact dedup: [[exact]] over
+    * [[canonicalText]] — catches the trivial-edit duplicates (case,
+    * punctuation, reflowed whitespace) that byte-exact dedup misses and
+    * MinHash spends candidate pairs on. Same single hash-groupBy
+    * shuffle; the canonicalization is per-row codegen'd expression
+    * work, so the operator costs exactly what [[exact]] costs plus two
+    * regex passes per row. */
+  def normalizedExact(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.groupBy(md5(canonicalText(col(textCol))).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
   /** Word-n-gram shingle stream (id, s), duplicates included. Built
     * from arrays_zip of shifted slices + explode — no lambda

@@ -79,4 +79,35 @@ object Graphs {
     ranks.select(col("node"),
       (col("rank_u").cast("double") / lit(1000000.0)).as("rank"))
   }
+
+  /** Triangle count by ordered edge enumeration (the standard
+    * distributed formulation): canonicalize each undirected edge to
+    * `a < b`, then count paths `a-b-c` with `a < b < c` that close via
+    * a third edge `a-c`. The ordering makes every triangle count
+    * exactly once and keeps both joins equi-joins on edge endpoints —
+    * shuffle work is edges ⋈ edges on a shared endpoint (Σ deg², the
+    * wedge count), never an n² node product. Returns one row:
+    * (n_nodes, n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b")) // drop self-loops
+      .distinct()
+      .localCheckpoint(true) // three consumers below, one materialize
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+    val triangles = wedges.join(e.select(col("a"), col("b").as("c")),
+      Seq("a", "c"), "left_semi")
+    val nNodes = e.select(col("a").as("n")).union(e.select(col("b")
+      .as("n"))).distinct().count()
+    val nEdges = e.count()
+    val nTri = triangles.count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nNodes, nEdges, nTri))
+      .toDF("n_nodes", "n_edges", "n_triangles")
+  }
 }

@@ -51,6 +51,26 @@ object Sampling {
       pmod(Fns.portableHash60(concat(lit(s"$salt:"),
         keyCol.cast("string"))), lit(1000L)) < permille)
 
+  /** Per-group quota: keep the top `quota` rows of each group under a
+    * caller-supplied TOTAL order (rank columns must end in a unique
+    * tie-break — the q01/q03 lesson: a non-unique sort order is an
+    * engine-dependent sample). The crawl-curation cap — "at most N
+    * documents per domain, best-quality first" — that stops one giant
+    * host from dominating a pretraining mix.
+    *
+    * One exchange on the group key, then a per-partition sort +
+    * running row_number — no global sort, no driver state; the hot-host
+    * skew ceiling is the largest single group's sort, which is the same
+    * bound any per-group top-N pays. */
+  def groupQuota(df: DataFrame, groupCol: Column, quota: Int,
+      rank: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(groupCol).orderBy(rank: _*)))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
   /** `hash(key) mod 1e6` in `[0, 1e6)` — the sampling uniformizer. */
   private def u(keyCol: Column): Column =
     pmod(Fns.portableHash60(keyCol.cast("string")), lit(M))

@@ -59,4 +59,41 @@ object Sketches {
       .groupBy("key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** EXACT heavy hitters with a Count-Min pruning pass — the
+    * sketch-to-candidates-to-exact pattern (the frequency twin of
+    * [[BloomJoin.bloomSemiJoin]]'s membership version): the sketch
+    * never underestimates, so `est >= threshold` yields a candidate
+    * superset of the true heavy hitters; the exact counting pass then
+    * runs ONLY over rows whose key is a candidate (broadcast semi-join
+    * — candidates are at most the hot tail, sketch-bounded) and its
+    * final `>= threshold` filter removes the collision-inflated false
+    * candidates. Output = exactly `GROUP BY key HAVING count >= t`,
+    * with the full-cardinality exact aggregation replaced by one
+    * sketch-sized shuffle + one candidate-sized one.
+    */
+  def cmHeavyHitters(df: DataFrame, key: Column, depth: Int,
+      width: Int, threshold: Long): DataFrame = {
+    val keyed = df.select(key.as("key"),
+      Fns.hashBase(key.cast("string")).as("__h"))
+    val sketch = countMin(df, key, depth, width).localCheckpoint(true)
+    // Per-row probe: depth broadcast joins against the (≤ depth×width
+    // row) sketch — rows whose estimate can't reach the threshold die
+    // BEFORE any key shuffle. No distinct-key pass anywhere: a
+    // distinct() candidate enumeration would itself be the
+    // full-cardinality shuffle the sketch exists to avoid.
+    val probed = (0 until depth).foldLeft(keyed) { (acc, j) =>
+      val side = broadcast(sketch.filter(col("j") === j)
+        .select(col("bucket").as(s"__b$j"), col("cnt").as(s"__c$j")))
+      acc.join(side, bucketCol(col("__h"), j, width) === col(s"__b$j"),
+          "left")
+        .drop(s"__b$j")
+    }
+    val est = least((0 until depth)
+      .map(j => coalesce(col(s"__c$j"), lit(0L))): _*)
+    probed.filter(est >= threshold)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
 }

@@ -28,6 +28,34 @@ object Skew {
     l.join(s, keys :+ "__salt").drop("__salt")
   }
 
+  /** Salted two-phase AGGREGATION — the groupBy counterpart of
+    * [[saltedJoin]]. Hash aggregation's map-side combine usually
+    * absorbs key skew (the exchange carries one partial row per
+    * (mapper, key)), but it degrades exactly when it matters: many
+    * cold keys alongside the hot ones blow the in-memory hash map and
+    * Spark falls back to sort-based aggregation, spilling the hot
+    * key's raw rows into the exchange after all. Phase 1 groups by
+    * `(k, hash(saltSrc) % salts)` — the hot key fans out over `salts`
+    * reducers — phase 2 re-aggregates the ≤ salts partial rows per
+    * key.
+    *
+    * Exposed for COUNT + exact DECIMAL SUM only: partials stay DECIMAL
+    * through both phases (an FP sum would become order-dependent under
+    * re-association — the reason [[graft.functions.Fns.sumDec]]
+    * exists); the one double cast happens after the final exact sum,
+    * so the result is bit-identical to the unsalted aggregate.
+    */
+  def saltedCountSum(df: DataFrame, key: Column, saltSrc: Column,
+      valueCol: Column, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val partial = df
+      .groupBy(key.as("k"), pmod(hash(saltSrc), lit(salts)).as("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(valueCol.cast("decimal(28,2)")).as("__s"))
+    partial.groupBy(col("k"))
+      .agg(sum("__n").as("n"), sum("__s").cast("double").as("s"))
+  }
+
   /** Top-k heavy keys of a frame — the observability half of skew
     * handling: measure before salting. */
   def keyHistogram(df: DataFrame, keys: Seq[String], k: Int): DataFrame =

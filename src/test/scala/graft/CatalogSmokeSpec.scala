@@ -32,7 +32,7 @@ class CatalogSmokeSpec extends SparkSpec {
     assert(rowsOnly.forall(n => !oracles.contains(n)),
       "rows-only allowlist names a query that HAS an oracle")
     // single-row global aggregates need no ORDER BY
-    val singleRow = Set("q11_two_level_agg")
+    val singleRow = Set("q11_two_level_agg", "q101_triangle_count")
     oracles.foreach { case (name, sql) =>
       assert(sql.toUpperCase.contains("SELECT"), name)
       assert(singleRow(name) || sql.toUpperCase.contains("ORDER BY"),

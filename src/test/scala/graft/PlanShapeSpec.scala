@@ -100,7 +100,10 @@ class PlanShapeSpec extends SparkSpec {
       "q73_fuzzy_join" -> "threshold-filtered pair list",
       "q85_bm25_topk" -> ("broadcast 1-row corpus-stats aggregate " +
         "(N + total length); the ranking itself is a TakeOrdered, " +
-        "not a global sort"))
+        "not a global sort"),
+      "q95_pmi_bigrams" -> ("broadcast 1-row pair-total aggregate " +
+        "over the vocabulary²-bounded checkpointed pair table (the " +
+        "output sort is a parallel range sort)"))
     // q58 excluded: building its frame executes the full
     // write→stream→append loop (side effects, ~seconds); its final
     // query is perProblemStats, which ends in a parallel orderBy.

@@ -149,10 +149,17 @@ def run_one(sf_dir, out_dir, name):
 
 
 def main(sf_dir, out_dir):
-    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
-    poisoned = False
+    # Unattended-gate knobs (sf3 lesson: one ~quadratic oracle can hold
+    # the whole gate hostage for an hour). GRAFT_COMPARE_SUBPROC=1
+    # starts in subprocess-per-query mode — each child owns a fresh
+    # allocator AND can be killed on GRAFT_COMPARE_TIMEOUT_S without
+    # losing the rest of the gate; a timeout prints a loud ERR line and
+    # counts as bad, never as silent skip.
+    poisoned = os.environ.get("GRAFT_COMPARE_SUBPROC") == "1"
+    timeout_s = float(os.environ.get("GRAFT_COMPARE_TIMEOUT_S", "0")) or None
+    con = None if poisoned else connect(sf_dir)
     for name, sql in sorted(oracle.items()):
         if not poisoned:
             try:
@@ -177,10 +184,16 @@ def main(sf_dir, out_dir):
                     con.close()
                 except Exception:
                     pass
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one",
-             sf_dir, out_dir, name])
-        if r.returncode == 0:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one",
+                 sf_dir, out_dir, name], timeout=timeout_s)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            print(f"ERR  {name}: oracle timeout after {timeout_s:.0f}s "
+                  "(child killed)")
+            rc = 1
+        if rc == 0:
             ok += 1
         else:
             bad += 1  # child printed its own FAIL/ERR line
