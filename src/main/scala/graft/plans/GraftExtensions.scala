@@ -37,5 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       OrderedSigAgg.builder))
     ext.injectFunction((ZOrderExpr.identifier, ZOrderExpr.info,
       ZOrderExpr.builder))
+    ext.injectFunction((TopKAgg.identifier, TopKAgg.info,
+      TopKAgg.builder))
   }
 }

@@ -175,4 +175,30 @@ object TopKAgg {
       ColumnBridge.expression(rank), ColumnBridge.expression(id), k)
       .toAggregateExpression())
   }
+
+  /** SQL surface (GraftExtensions): `graft_topk(rank, id, k)` with a
+    * foldable integer k. */
+  val identifier: org.apache.spark.sql.catalyst.FunctionIdentifier =
+    org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk")
+
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[TopKAgg].getCanonicalName, "graft_topk")
+
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 3,
+      "graft_topk takes (rank bigint, id bigint, k int literal)")
+    val k = children(2) match {
+      case e if e.foldable =>
+        e.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an integer literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "graft_topk k must be a literal")
+    }
+    TopKAgg(children(0), children(1), k)
+  }
 }

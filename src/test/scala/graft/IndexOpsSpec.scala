@@ -147,6 +147,20 @@ class IndexOpsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (5L, 6L, 2L))
   }
 
+  test("graft_topk works from plain SQL") {
+    spark.sessionState.functionRegistry.registerFunction(
+      TopKAgg.identifier, TopKAgg.info, TopKAgg.builder)
+    Seq((1L, 30L, 1L), (1L, 10L, 2L), (1L, 20L, 3L), (2L, 5L, 4L))
+      .toDF("g", "r", "id").createOrReplaceTempView("topk_in")
+    val got = spark.sql(
+      """SELECT g, graft_topk(r, id, 2) AS top FROM topk_in
+         GROUP BY g ORDER BY g""")
+      .select(col("g"), col("top").cast("array<struct<r:long,id:long>>"))
+      .as[(Long, Seq[(Long, Long)])].collect().toSeq
+    assert(got == Seq(
+      (1L, Seq((10L, 2L), (20L, 3L))), (2L, Seq((5L, 4L)))))
+  }
+
   test("saltedCountSum is bit-identical to the unsalted aggregate") {
     val ev = graft.testqueries.Tables.events(spark, sf)
     val salted = Skew.saltedCountSum(ev, col("event_type"),
