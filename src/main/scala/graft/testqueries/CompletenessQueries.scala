@@ -215,8 +215,19 @@ object CompletenessQueries {
 
     // Range join (events within 5 minutes after each event), via the
     // bucket decomposition in ops/TemporalJoins — an equi-join on time
-    // buckets, never a nested-loop cross product. The DuckDB oracle uses
-    // its native inequality join.
+    // buckets, never a nested-loop cross product.
+    //
+    // The oracle ALSO uses the bucket decomposition (two hash-join arms
+    // on b and b+1, exact-floor integer bucket arithmetic): DuckDB's
+    // native inequality join cost ~19 min at sf1 even with the 3s gate
+    // window — the entire two-scale gate wall — where the equi-join
+    // form runs in seconds. Independence is preserved by (a) the
+    // ground-truth predicate `r.us >= l.us AND r.us - l.us < w`
+    // appearing verbatim as each arm's post-filter (buckets only
+    // GENERATE candidates; completeness of {b, b+1} is one line:
+    // l ∈ [bw,(b+1)w) ∧ r ∈ [l, l+w) ⇒ r ∈ [bw,(b+2)w)), and (b)
+    // TemporalJoinsSpec checking the decomposition against a
+    // no-bucket brute-force cross filter.
     QueryDef("q39_range_join",
       // per-event output: the bucket join clusters by time bucket, so the
       // count-per-event regroup needs its own exchange — let it be the
@@ -232,15 +243,27 @@ object CompletenessQueries {
         .groupBy(col("l_id").as("event_id"))
         .agg(count(lit(1)).as("n_nearby"))
         .transform(QueryDef.sortedPMat(_, col("event_id"))),
-      Some(s"""SELECT e1.event_id, COUNT(*) AS n_nearby
-        FROM events e1 JOIN events e2
-          ON epoch_us(CAST(e2.ts AS TIMESTAMP))
-               >= epoch_us(CAST(e1.ts AS TIMESTAMP))
-          AND epoch_us(CAST(e2.ts AS TIMESTAMP))
-              - epoch_us(CAST(e1.ts AS TIMESTAMP))
-              < ${GateKnobs.rangeWindowUs}
-          AND e2.event_id <> e1.event_id
-        GROUP BY e1.event_id ORDER BY e1.event_id""")),
+      Some {
+        val w = GateKnobs.rangeWindowUs
+        s"""WITH b AS (
+          SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+            (epoch_us(CAST(ts AS TIMESTAMP))
+              - ((epoch_us(CAST(ts AS TIMESTAMP)) % $w + $w) % $w))
+              // $w AS b
+          FROM events),
+        p AS (
+          SELECT l.event_id AS l_id
+          FROM b l JOIN b r ON r.b = l.b
+            AND r.us >= l.us AND r.us - l.us < $w
+            AND r.event_id <> l.event_id
+          UNION ALL
+          SELECT l.event_id
+          FROM b l JOIN b r ON r.b = l.b + 1
+            AND r.us >= l.us AND r.us - l.us < $w
+            AND r.event_id <> l.event_id)
+        SELECT l_id AS event_id, COUNT(*) AS n_nearby
+        FROM p GROUP BY l_id ORDER BY event_id"""
+      }),
 
     // Aggregate range count — the scale path when only counts are
     // needed: pair enumeration is quadratic in event density (~100x
@@ -254,14 +277,27 @@ object CompletenessQueries {
           GateKnobs.rangeWindowUs, "event_id")
         .select(col("l_id").as("event_id"), col("n").as("n_window"))
         .transform(QueryDef.sortedPMat(_, col("event_id"))),
-      Some(s"""SELECT e1.event_id, COUNT(*) AS n_window
-        FROM events e1 JOIN events e2
-          ON epoch_us(CAST(e2.ts AS TIMESTAMP))
-               >= epoch_us(CAST(e1.ts AS TIMESTAMP))
-          AND epoch_us(CAST(e2.ts AS TIMESTAMP))
-              - epoch_us(CAST(e1.ts AS TIMESTAMP))
-              < ${GateKnobs.rangeWindowUs}
-        GROUP BY e1.event_id ORDER BY e1.event_id""")),
+      // Oracle: same bucketed equi-join rewrite (and rationale) as q39,
+      // self-inclusive — no id-inequality filter.
+      Some {
+        val w = GateKnobs.rangeWindowUs
+        s"""WITH b AS (
+          SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+            (epoch_us(CAST(ts AS TIMESTAMP))
+              - ((epoch_us(CAST(ts AS TIMESTAMP)) % $w + $w) % $w))
+              // $w AS b
+          FROM events),
+        p AS (
+          SELECT l.event_id AS l_id
+          FROM b l JOIN b r ON r.b = l.b
+            AND r.us >= l.us AND r.us - l.us < $w
+          UNION ALL
+          SELECT l.event_id
+          FROM b l JOIN b r ON r.b = l.b + 1
+            AND r.us >= l.us AND r.us - l.us < $w)
+        SELECT l_id AS event_id, COUNT(*) AS n_window
+        FROM p GROUP BY l_id ORDER BY event_id"""
+      }),
 
     // As-of join: each order matched to the user's latest event at or
     // before the order date (union-window realization — one shuffle on

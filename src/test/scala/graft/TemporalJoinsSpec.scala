@@ -42,6 +42,34 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(sweep == enum_)
   }
 
+  test("rangeJoin == brute-force cross filter on a random corpus") {
+    // the ground-truth formulation with NO bucket arithmetic anywhere:
+    // since round 6 the q39/q76 DuckDB oracles reuse the bucket
+    // decomposition for hash-join speed, so this spec is the
+    // independent check that the decomposition equals the bare
+    // predicate (boundary ties included — ts multiples of 250 with a
+    // 1000us window land probes exactly on bucket edges)
+    val df = TestSpark.spark.range(300)
+      .selectExpr("id",
+        "timestamp_micros(cast(floor(rand(11) * 60) as long) * 250) " +
+          "as ts")
+      .localCheckpoint(true)
+    val viaBuckets = TemporalJoins
+      .rangeJoin(df, df, "ts", 1000L, "id", "id")
+      .select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val l = df.selectExpr("id as l_id",
+      "unix_micros(cast(ts as timestamp)) as l_us")
+    val r = df.selectExpr("id as r_id",
+      "unix_micros(cast(ts as timestamp)) as r_us")
+    val brute = l.crossJoin(r)
+      .filter(org.apache.spark.sql.functions.expr(
+        "r_us >= l_us AND r_us - l_us < 1000"))
+      .select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(viaBuckets == brute)
+  }
+
   test("rangeCount is exact for pre-1970 (negative epoch) timestamps") {
     // floor vs truncate-toward-zero bucketing diverges only below epoch:
     // with truncation, bucket 0 spans (-w, w) and the low probe
