@@ -23,9 +23,14 @@ package graft.testqueries
   */
 object GateKnobs {
 
-  /** q39/q76 range window in micros. Default 5 min. The oracle's
-    * inequality-join cost — and q39's output — is linear in the window
-    * at fixed event density; sf1_gate.sh sets 30s (10x cheaper) at sf1+. */
+  /** q39/q76 range window in micros. Default 5 min. q39's OUTPUT (and
+    * so its parquet dump + in-db compare cost) is linear in the window
+    * at fixed event density; gate scripts narrow it at sf1+ (30s, then
+    * per-scale 3s/1s). Historical note: the window was originally also
+    * the ORACLE's wall — DuckDB's native inequality join cost ~19 min
+    * at sf1 even at 3s — until round 6 rewrote both oracles as
+    * bucketed equi-joins (seconds at any gate scale), so today the
+    * knob mostly bounds q39's pair-enumeration output size. */
   val rangeWindowUs: Long =
     sys.env.get("GRAFT_GATE_RANGE_WINDOW_US").map(_.toLong)
       .getOrElse(300000000L)
