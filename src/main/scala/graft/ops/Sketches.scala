@@ -96,4 +96,102 @@ object Sketches {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
   }
+
+  /** KMV distinct-count estimate per group ([[graft.plans.KmvAgg]]):
+    * `(groupCols*, est_n)`. Exact (the min-set IS the distinct set)
+    * below k distinct values; above, the k-th minimum's position in
+    * the hash space gives `est = (k-1) * |H| div h_k` — integer floor
+    * division over the portable hash family, so the estimate replays
+    * bit-for-bit in an external engine (DISTINCT + ORDER BY + LIMIT k
+    * + the same division). Standard error ~1/sqrt(k-2). The shuffle
+    * carries at most k longs per (mapper, group); COUNT(DISTINCT)
+    * carries every distinct value. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], key: Column,
+      k: Int): DataFrame = {
+    import graft.plans.KmvAgg
+    df.groupBy(groupCols.map(col): _*)
+      .agg(KmvAgg.kmv(Fns.hashBase(key.cast("string")), k).as("__mins"))
+      .select(groupCols.map(col) :+
+        when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
+          .otherwise(call_function("div",
+            lit((k - 1).toLong * Fns.HashP),
+            element_at(col("__mins"), k)))
+          .as("est_n"): _*)
+  }
+
+  /** Sub-bucket count per power-of-two major range of the log
+    * histogram: 16 geometric minors bound the relative quantile error
+    * at 1/16 with <= 32 + 16*59 buckets for any non-negative long. */
+  val HistMinors = 16L
+
+  /** HdrHistogram-style bucket index (Tene's high-dynamic-range
+    * histogram scheme) for a non-negative integer column: values
+    * below 32 map to themselves (exact), larger values split each
+    * [2^(m-1), 2^m) major range (m = binary digit count) into
+    * [[HistMinors]] geometric minors. Everything is integer
+    * arithmetic — floor(log2 v) comes from the length of the binary
+    * digit string (`bin`, present in both Spark and DuckDB), the
+    * minor from a right shift — so an external engine replays every
+    * bucket id bit-for-bit; no FP log anywhere.
+    */
+  def logBucket(v: Column): Column = {
+    val m = length(bin(v)) // = floor(log2 v) + 1 for v >= 1
+    // minor index: the top 5 bits of v, i.e. v >> (m - 5), in [16, 32)
+    val minor = call_function("shiftright", v, (m - 5))
+    when(v < 32, v.cast("long")).otherwise(
+      lit(32L) + ((m - 6).cast("long") * HistMinors) + minor - 16L)
+  }
+
+  /** Inverse of [[logBucket]]: the smallest value mapping to bucket
+    * `b` — the quantile ESTIMATE read off the histogram (a guaranteed
+    * lower bound of the true quantile, within relative factor
+    * 1 + 1/16). */
+  def bucketFloor(b: Column): Column = {
+    // (b-32) div 16 via a right shift — Column./ is DOUBLE division
+    val major = call_function("shiftright", (b - 32L).cast("long"),
+      lit(4)).cast("int")
+    val minor = lit(16L) + ((b - 32L) % HistMinors)
+    when(b < 32, b.cast("long"))
+      .otherwise(call_function("shiftleft", minor, major + 1))
+  }
+
+  /** Build a mergeable log-histogram of `value` per group: rows
+    * `(groupCols*, bucket, cnt)`. The shuffle is histogram-sized, not
+    * data-sized (map-side partial aggregation collapses each task to
+    * at most ~1000 buckets per group) — the property that makes this
+    * the 100 TB quantile path where exact `percentile` must shuffle
+    * and buffer every raw value per group. Histograms of disjoint
+    * corpora merge by bucket-wise addition (associative counters),
+    * so incremental maintenance is the same `groupBy` over a union.
+    */
+  def logHistogram(df: DataFrame, groupCols: Seq[String],
+      value: Column): DataFrame =
+    df.groupBy((groupCols.map(col) :+ logBucket(value).as("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Read approximate quantiles off a [[logHistogram]]: for each
+    * group and each requested quantile `num/den`, the [[bucketFloor]]
+    * of the first bucket whose cumulative count reaches
+    * ceil(total * num / den). The rank comparison is exact integer
+    * cross-multiplication (`cum * den >= total * num` — an integer
+    * cum reaches ceil(x) iff it reaches x), so no division or FP
+    * rounding exists anywhere in the read path and the estimate is
+    * deterministic at every scale. One window sort over the (tiny)
+    * histogram + one final aggregate. */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String],
+      quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val cum = byGroup.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("__cum", sum("cnt").over(cum))
+      .withColumn("__total", sum("cnt").over(byGroup))
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__total")).as("n"),
+        quantiles.map { case (name, num, den) =>
+          min(when(col("__cum") * den >= col("__total") * num,
+            bucketFloor(col("bucket")))).as(name)
+        }: _*)
+  }
 }

@@ -149,6 +149,38 @@ object TextAnalysis {
       .agg(countDistinct(col("s")).as("n_shared"))
   }
 
+  /** Containment-scored decontamination — [[contamination]]'s
+    * hit-count generalized to the per-document containment FRACTION
+    * |shingles(d) ∩ benchmark| / |shingles(d)| (Jaccard containment,
+    * the asymmetric overlap measure decontamination actually
+    * thresholds on: a 10-word quote inside a 10k-word doc is noise, a
+    * benchmark question pasted verbatim into a short doc is
+    * contamination). Returns EVERY corpus doc that produced at least
+    * one shingle: `(idCol, n_shingles, n_shared, contaminated)`, with
+    * the verdict decided by exact integer cross-multiplication
+    * `n_shared * 100 >= n_shingles * thresholdPct` — no FP division
+    * anywhere, so the flag is bit-portable at every scale. Scale
+    * shape: ONE pass over the corpus shingle stream with a broadcast
+    * LEFT join marking benchmark membership in the scan stage, then
+    * one per-doc aggregation computing both distinct counts — no
+    * second corpus scan, no doc×doc work. */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      thresholdPct: Int = 50): DataFrame = {
+    val benchSet = broadcast(
+      Dedup.shingles(bench, idCol, textCol, n)
+        .select(col("s")).distinct()
+        .withColumn("__hit", lit(1)))
+    Dedup.shinglesRaw(corpus, idCol, textCol, n)
+      .join(benchSet, Seq("s"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(countDistinct(col("s")).as("n_shingles"),
+        countDistinct(when(col("__hit") === 1, col("s")))
+          .as("n_shared"))
+      .withColumn("contaminated",
+        col("n_shared") * 100 >= col("n_shingles") * thresholdPct)
+  }
+
   /** PII redaction: emails, IPv4 addresses and international phone
     * numbers replaced with typed placeholder tags — the masking pass a
     * training pipeline runs before tokenization. Conservative

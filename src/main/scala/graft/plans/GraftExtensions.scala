@@ -39,5 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ZOrderExpr.builder))
     ext.injectFunction((TopKAgg.identifier, TopKAgg.info,
       TopKAgg.builder))
+    ext.injectFunction((KmvAgg.identifier, KmvAgg.info,
+      KmvAgg.builder))
   }
 }

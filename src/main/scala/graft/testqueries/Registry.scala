@@ -6,5 +6,5 @@ object Registry {
     CoreQueries.all ++ TextDedupQueries.all ++ VectorEventQueries.all ++
       CompletenessQueries.all ++ FunctionQueries.all ++
       LayoutQueries.all ++ MixQueries.all ++ TrainingDataQueries.all ++
-      PipelineQueries.all ++ IndexQueries.all
+      PipelineQueries.all ++ IndexQueries.all ++ StatQueries.all
 }

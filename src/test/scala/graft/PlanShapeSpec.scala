@@ -103,7 +103,9 @@ class PlanShapeSpec extends SparkSpec {
         "not a global sort"),
       "q95_pmi_bigrams" -> ("broadcast 1-row pair-total aggregate " +
         "over the vocabulary²-bounded checkpointed pair table (the " +
-        "output sort is a parallel range sort)"))
+        "output sort is a parallel range sort)"),
+      "q104_kmv_distinct" -> ("event-type groups ≪ corpus (sketch " +
+        "rows: one per group, each O(k) state)"))
     // q58 excluded: building its frame executes the full
     // write→stream→append loop (side effects, ~seconds); its final
     // query is perProblemStats, which ends in a parallel orderBy.
