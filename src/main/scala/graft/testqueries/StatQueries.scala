@@ -3,7 +3,7 @@ package graft.testqueries
 import org.apache.spark.sql.functions._
 import graft.ops.{Sketches, TextAnalysis}
 
-/** Statistics / decontamination batch — q102-q104: mergeable
+/** Statistics / decontamination batch — q102-q106: mergeable
   * log-histogram quantiles (the fixed-state scale path next to q47's
   * exact percentiles, the way IVF sits next to brute-force ANN),
   * containment-scored benchmark decontamination (q70's hit count
@@ -167,6 +167,115 @@ object StatQueries {
         SELECT event_type, CAST(exact_n AS BIGINT) AS exact_n,
           CAST(est_n AS BIGINT) AS est_n
         FROM ex JOIN est USING (event_type)
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // Incremental quantile maintenance: histograms are monoids, so
+    // quantiles(merge(hist(base), hist(delta))) is BIT-IDENTICAL to
+    // quantiles over the full table — the q68 mergeable-state
+    // discipline applied to the quantile path. The oracle computes the
+    // one-shot form; the Spark side computes the merge form; the hash
+    // match IS the monoid proof at data scale. At 100 TB this replaces
+    // the nightly full re-scan with a delta-sized histogram union.
+    QueryDef("q105_incremental_quantiles",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val cents = floor(col("l_extendedprice") * 100)
+        val base = Sketches.logHistogram(
+          li.filter(col("l_orderkey") % 5 =!= 0), Seq("l_linestatus"),
+          cents)
+        val delta = Sketches.logHistogram(
+          li.filter(col("l_orderkey") % 5 === 0), Seq("l_linestatus"),
+          cents)
+        val merged = base.union(delta)
+          .groupBy("l_linestatus", "bucket").agg(sum("cnt").as("cnt"))
+        Sketches.histQuantiles(merged, Seq("l_linestatus"),
+            Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+          .orderBy("l_linestatus")
+      },
+      Some("""WITH v AS (
+          SELECT l_linestatus AS flag,
+            CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem),
+        b AS (
+          SELECT flag,
+            CASE WHEN cents < 32 THEN cents
+              ELSE 32 + (length(bin(cents)) - 6) * 16
+                + (cents >> (length(bin(cents)) - 5)) - 16
+            END AS bucket
+          FROM v),
+        h AS (
+          SELECT flag, bucket, COUNT(*) AS cnt
+          FROM b GROUP BY flag, bucket),
+        c AS (
+          SELECT flag, bucket, cnt,
+            SUM(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+            SUM(cnt) OVER (PARTITION BY flag) AS total
+          FROM h),
+        f AS (
+          SELECT flag, cum, total,
+            CASE WHEN bucket < 32 THEN bucket
+              ELSE (16 + (bucket - 32) % 16) << ((bucket - 32) // 16 + 1)
+            END AS lb
+          FROM c)
+        SELECT flag AS l_linestatus, CAST(MAX(total) AS BIGINT) AS n,
+          CAST(MIN(CASE WHEN cum * 2 >= total * 1 THEN lb END)
+            AS BIGINT) AS p50,
+          CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN lb END)
+            AS BIGINT) AS p90,
+          CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN lb END)
+            AS BIGINT) AS p99
+        FROM f GROUP BY flag ORDER BY l_linestatus""")),
+
+    // Sketch-guided corpus filter: per-language p90 length threshold
+    // read off the log histogram, broadcast back (one row per
+    // language), kept docs filtered in the scan stage — the
+    // "keep the long tail" curation step with the threshold computed
+    // from a histogram-sized aggregate instead of a per-group sort of
+    // every document length.
+    QueryDef("q106_quantile_threshold_filter",
+      (s, d) => {
+        val docs = documents(s, d)
+        val hist = Sketches.logHistogram(docs, Seq("lang"),
+          col("n_chars"))
+        val thr = Sketches.histQuantiles(hist, Seq("lang"),
+            Seq(("p90", 9, 10)))
+          .select(col("lang"), col("p90"))
+        QueryDef.sortedP(
+          docs.join(broadcast(thr), "lang")
+            .filter(col("n_chars") >= col("p90"))
+            .select(col("doc_id"), col("lang"), col("n_chars"),
+              col("p90")),
+          col("doc_id"))
+      },
+      Some("""WITH b AS (
+          SELECT lang, doc_id, n_chars,
+            CASE WHEN n_chars < 32 THEN n_chars
+              ELSE 32 + (length(bin(n_chars)) - 6) * 16
+                + (n_chars >> (length(bin(n_chars)) - 5)) - 16
+            END AS bucket
+          FROM documents),
+        h AS (
+          SELECT lang, bucket, COUNT(*) AS cnt
+          FROM b GROUP BY lang, bucket),
+        c AS (
+          SELECT lang, bucket, cnt,
+            SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+            SUM(cnt) OVER (PARTITION BY lang) AS total
+          FROM h),
+        f AS (
+          SELECT lang, cum, total,
+            CASE WHEN bucket < 32 THEN bucket
+              ELSE (16 + (bucket - 32) % 16) << ((bucket - 32) // 16 + 1)
+            END AS lb
+          FROM c),
+        thr AS (
+          SELECT lang,
+            CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN lb END)
+              AS BIGINT) AS p90
+          FROM f GROUP BY lang)
+        SELECT doc_id, d.lang AS lang, n_chars, p90
+        FROM documents d JOIN thr ON d.lang = thr.lang
+        WHERE n_chars >= p90
+        ORDER BY doc_id"""))
   )
 }

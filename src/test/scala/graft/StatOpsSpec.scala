@@ -61,6 +61,20 @@ class StatOpsSpec extends SparkSpec {
     assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
   }
 
+  test("quantiles of merged histograms == quantiles of one-shot (monoid)") {
+    val xs = (1L to 700L).map(i => ("g", i * 31 % 10007))
+    val ys = (1L to 300L).map(i => ("g", i * 17 % 300))
+    def hist(vs: Seq[(String, Long)]) =
+      Sketches.logHistogram(vs.toDF("g", "v"), Seq("g"), col("v"))
+    val merged = hist(xs).union(hist(ys))
+      .groupBy("g", "bucket").agg(sum("cnt").as("cnt"))
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    val a = Sketches.histQuantiles(merged, Seq("g"), qs).collect().toSeq
+    val b = Sketches.histQuantiles(hist(xs ++ ys), Seq("g"), qs)
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("histQuantiles: rank semantics exact, error bound vs true quantile") {
     val vs = (1L to 1000L).map(i => ("g", i * 13 % 4096))
     val hist = Sketches.logHistogram(vs.toDF("g", "v"), Seq("g"), col("v"))
