@@ -12,7 +12,7 @@ rm -rf "$CP" && mkdir -p "$CP" \
   && cp -a target/scala-2.13/classes/. "$CP/"
 export GRAFT_CP="$CP"
 export GRAFT_GATE_EMB_MOD=4
-NEWQ=q102,q103,q104
+NEWQ=${GRAFT_STATQ_ONLY:-q102,q103,q104}
 
 gate () { # label window_us outfile
   rm -rf "/tmp/verify_$1_statq"
@@ -20,7 +20,7 @@ gate () { # label window_us outfile
     SPARK_GRAFT_VERIFY_ONLY=$NEWQ \
     tools/run.sh graft.Verify "/root/repo/data/$1" "/tmp/verify_$1_statq" \
     > "/tmp/verify_$1_statq.log" 2>&1
-  { echo "# q102-q104 batch $1 $(date -u +%FT%TZ)";
+  { echo "# ${GRAFT_STATQ_ONLY:-q102-q104} batch $1 $(date -u +%FT%TZ)";
     GRAFT_COMPARE_SUBPROC=1 GRAFT_COMPARE_TIMEOUT_S=1200 \
       python3 tools/compare.py "/root/repo/data/$1" "/tmp/verify_$1_statq"; } \
     | tee -a "$3"
