@@ -112,12 +112,16 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(KmvAgg.kmv(Fns.hashBase(key.cast("string")), k).as("__mins"))
       .select(groupCols.map(col) :+
-        when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
-          .otherwise(call_function("div",
-            lit((k - 1).toLong * Fns.HashP),
-            element_at(col("__mins"), k)))
-          .as("est_n"): _*)
+        kmvEstimate(col("__mins"), k).as("est_n"): _*)
   }
+
+  /** Distinct-count estimate from a KMV min-set column: exact set
+    * size below k, `(k-1) * |H| div h_k` (integer floor division)
+    * once the set is full. */
+  def kmvEstimate(mins: Column, k: Int): Column =
+    when(size(mins) < k, size(mins).cast("long"))
+      .otherwise(call_function("div",
+        lit((k - 1).toLong * Fns.HashP), element_at(mins, k)))
 
   /** Sub-bucket count per power-of-two major range of the log
     * histogram: 16 geometric minors bound the relative quantile error

@@ -3,7 +3,7 @@ package graft.testqueries
 import org.apache.spark.sql.functions._
 import graft.ops.{Sketches, TextAnalysis}
 
-/** Statistics / decontamination batch — q102-q106: mergeable
+/** Statistics / decontamination batch — q102-q107: mergeable
   * log-histogram quantiles (the fixed-state scale path next to q47's
   * exact percentiles, the way IVF sits next to brute-force ANN),
   * containment-scored benchmark decontamination (q70's hit count
@@ -29,6 +29,12 @@ object StatQueries {
     * ~1/sqrt(62) ≈ 13% standard error displayed against the exact
     * count; the exact branch (distinct < k) is spec-covered. */
   private val KmvK = 64
+
+  /** q107 per-window min-set size. 32 < per-type distinct users at
+    * every sf, so the rollup exercises full-set estimation; smaller
+    * than q104's k so the two sketch queries pin different
+    * geometries. */
+  private val WinK = 32
 
   def all: Seq[QueryDef] = Seq(
 
@@ -276,6 +282,72 @@ object StatQueries {
         SELECT doc_id, d.lang AS lang, n_chars, p90
         FROM documents d JOIN thr ON d.lang = thr.lang
         WHERE n_chars >= p90
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Windowed sketch rollup — the "daily uniques -> monthly uniques"
+    // path: one KMV min-set per (event_type, day), rolled up to a
+    // global per-type sketch by re-sketching the daily min-sets. The
+    // union of per-window min-sets CONTAINS the global k smallest
+    // hashes (each is within its own window's k smallest), so the
+    // rollup is LOSSLESS — the oracle computes the one-shot global
+    // sketch and the hash match proves the rollup identity at data
+    // scale. Daily sketches persist at window close; any date range
+    // re-aggregates k longs per window instead of re-scanning events.
+    QueryDef("q107_windowed_kmv_rollup", {
+      (s, d) =>
+        import graft.plans.KmvAgg
+        import graft.functions.Fns
+        val ev = events(s, d)
+        val h = Fns.hashBase(col("user_id").cast("string"))
+        val daily = ev
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(KmvAgg.kmv(h, WinK).as("mins"))
+          .localCheckpoint(true) // both consumers below read it
+        val rolled = daily
+          .select(col("event_type"), explode(col("mins")).as("h"))
+          .groupBy("event_type")
+          .agg(KmvAgg.kmv(col("h"), WinK).as("mins"))
+          .select(col("event_type"),
+            Sketches.kmvEstimate(col("mins"), WinK).as("est_n"))
+        val days = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_n"))
+        QueryDef.sorted1(
+          exact.join(days, "event_type").join(rolled, "event_type"),
+          col("event_type"))
+    },
+      Some(s"""WITH ex AS (
+          SELECT event_type, COUNT(DISTINCT user_id) AS exact_n
+          FROM events GROUP BY event_type),
+        days AS (
+          SELECT event_type,
+            COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)))
+              AS n_days
+          FROM events GROUP BY event_type),
+        h AS (
+          SELECT DISTINCT event_type,
+            (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              ::BIGINT % ${graft.functions.Fns.HashP}) AS hv
+          FROM events),
+        r AS (
+          SELECT event_type, hv,
+            row_number() OVER (PARTITION BY event_type ORDER BY hv)
+              AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS nd
+          FROM h),
+        est AS (
+          SELECT event_type,
+            CASE WHEN MAX(nd) < ${WinK} THEN MAX(nd)
+              ELSE (${WinK - 1}::BIGINT * ${graft.functions.Fns.HashP})
+                // MAX(CASE WHEN rn = ${WinK} THEN hv END)
+            END AS est_n
+          FROM r GROUP BY event_type)
+        SELECT event_type, CAST(exact_n AS BIGINT) AS exact_n,
+          CAST(n_days AS BIGINT) AS n_days,
+          CAST(est.est_n AS BIGINT) AS est_n
+        FROM ex JOIN days USING (event_type) JOIN est USING (event_type)
+        ORDER BY event_type"""))
   )
 }

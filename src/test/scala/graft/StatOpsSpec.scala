@@ -158,6 +158,23 @@ class StatOpsSpec extends SparkSpec {
     assert(merged._2 == direct._2)
   }
 
+  test("kmv window rollup is lossless: merged per-window min-sets == global") {
+    import graft.plans.KmvAgg
+    import graft.functions.Fns
+    // 3 windows with overlapping user sets
+    val rows = for (w <- 1 to 3; u <- 1L to 400L; if (u + w) % 3 != 0)
+      yield (w, u)
+    val df = rows.toDF("w", "u")
+    val h = Fns.hashBase(col("u").cast("string"))
+    val daily = df.groupBy("w").agg(KmvAgg.kmv(h, 16).as("mins"))
+    val rolled = daily.select(explode(col("mins")).as("h"))
+      .agg(KmvAgg.kmv(col("h"), 16).as("mins"))
+      .as[Seq[Long]].collect().head
+    val global = df.agg(KmvAgg.kmv(h, 16).as("mins"))
+      .as[Seq[Long]].collect().head
+    assert(rolled == global)
+  }
+
   test("kmv survives partial-aggregate serialization round trips") {
     import graft.plans.KmvAgg
     import graft.functions.Fns
