@@ -3,7 +3,7 @@ package graft.testqueries
 import org.apache.spark.sql.functions._
 import graft.ops.{Sketches, TextAnalysis}
 
-/** Statistics / decontamination batch — q102-q107: mergeable
+/** Statistics / decontamination batch — q102-q108: mergeable
   * log-histogram quantiles (the fixed-state scale path next to q47's
   * exact percentiles, the way IVF sits next to brute-force ANN),
   * containment-scored benchmark decontamination (q70's hit count
@@ -18,6 +18,11 @@ import graft.ops.{Sketches, TextAnalysis}
   */
 object StatQueries {
   import Tables._
+
+  /** q108's side-effecting stream-dedup gate runs once per
+    * (session, sf dir) — the q58 memoization pattern. */
+  private val streamDedupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q103 containment threshold (percent). 25 on the synthetic corpus
     * exercises both verdicts: exact duplicates of benchmark docs sit
@@ -348,6 +353,46 @@ object StatQueries {
           CAST(n_days AS BIGINT) AS n_days,
           CAST(est.est_n AS BIGINT) AS est_n
         FROM ex JOIN days USING (event_type) JOIN est USING (event_type)
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // Streaming exact dedup, oracle-gated end to end (the q58
+    // discipline applied to the dedup-at-ingest operator): the source
+    // events are written out DOUBLED, streamed back through
+    // `dropDuplicates(event_id)` (global state across micro-batches —
+    // the exactness path; the bounded-state
+    // `dropDuplicatesWithinWatermark` variant is spec-covered in
+    // ScaleOpsSpec), appended to a parquet sink, and the declared
+    // aggregation over the sink must hash-match the oracle computed on
+    // the ORIGINAL un-doubled table — the whole
+    // duplicate → stream → dedup → sink loop is what's verified.
+    QueryDef("q108_stream_dedup", {
+      (s, d) =>
+        val sink = streamDedupCache.computeIfAbsent(
+          s"${System.identityHashCode(s)}:$d", _ => {
+            val tmp = java.nio.file.Files
+              .createTempDirectory("q108").toString
+            val src = s"$tmp/src"
+            val out = s"$tmp/out"
+            val ev = events(s, d)
+            ev.union(ev).write.mode("overwrite").parquet(src)
+            s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+              .dropDuplicates("event_id")
+              .writeStream
+              .outputMode("append")
+              .option("checkpointLocation", s"$tmp/ck")
+              .trigger(org.apache.spark.sql.streaming.Trigger
+                .AvailableNow())
+              .start(out)
+              .awaitTermination()
+            out
+          })
+        s.read.parquet(sink).groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Fns.sumDec(col("value")).as("total"))
+          .orderBy("event_type")
+    },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }
