@@ -106,6 +106,12 @@ object Bench {
     // the q58 entry above measures the declared stats QUERY only.
     val gateS = graft.testqueries.VectorEventQueries
       .streamGateMillis.get() / 1000.0
+    // Same discipline for the q77-q80 versioned-warehouse builds
+    // (appends/deletes/rollbacks/stats refreshes, memoized in
+    // LayoutQueries.maintGate): reported once so those entries
+    // measure the version-READ paths.
+    val maintS = graft.testqueries.LayoutQueries
+      .maintGateMillis.get() / 1000.0
     // Executed-scale evidence rides along: if a round produced an sf1
     // bench artifact (tools/sf1_gate.sh -> bench_sf1.json), inline it
     // so the round's single BENCH json also carries the 10x section —
@@ -139,7 +145,7 @@ object Bench {
         s""""emb_mod":${GateKnobs.embSampleMod}}"""
     }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt",$knobs,"queries":$qjson,"q58_gate_s":$gateS,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt",$knobs,"queries":$qjson,"q58_gate_s":$gateS,"maint_gate_s":$maintS,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
     println(json)
     // Also persist to a file: the driver captures a bounded stdout tail,
     // and round 3's artifact lost q01-q04 + the total to that window.

@@ -48,8 +48,9 @@ object Graphs {
     */
   def pageRankUndirected(edges: DataFrame, srcCol: String,
       dstCol: String, iters: Int, dampNum: Long = 85L,
-      dampDen: Long = 100L): DataFrame = {
+      dampDen: Long = 100L, checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1, "pageRankUndirected needs at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(dampNum > 0 && dampDen > dampNum,
       "damping must be a rational in (0, 1)")
     val sym = edges
@@ -67,14 +68,22 @@ object Graphs {
     val teleportU = ((dampDen - dampNum) * 1000000L) / dampDen
     var ranks = deg.select(col("node"), lit(1000000L).as("rank_u"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    // Checkpoint cadence: an EAGER checkpoint per round is a full
+    // materialization + job per iteration — for short chains the
+    // un-checkpointed lineage (each round references the previous
+    // exactly once) executes as ONE job of chained join+agg stages.
+    // Checkpoint only every `checkpointEvery` rounds to truncate
+    // lineage on long runs; integer arithmetic makes replay-vs-
+    // materialize semantically indistinguishable.
+    for (i <- 1 to iters) {
       ranks = eWithDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg((lit(teleportU) +
           sum(expr(s"(${dampNum}L * rank_u) div (${dampDen}L * deg)")))
           .as("rank_u"))
-        .localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"),
       (col("rank_u").cast("double") / lit(1000000.0)).as("rank"))
