@@ -177,4 +177,36 @@ class NativeAggCheckSpec extends SparkSpec {
       native == composed
     }, trials = 10)
   }
+
+  test("KmvAgg == sorted-distinct-take-k ground truth for all " +
+      "partitionings (scalacheck)") {
+    import graft.plans.KmvAgg
+    // duplicate-heavy keys so the dedup-in-buffer path is exercised
+    // across merge boundaries; NULL hashes must be skipped
+    val row = for {
+      g <- Gen.choose(0, 4).map(i => s"g$i")
+      v <- Gen.frequency(
+        9 -> Gen.choose(0L, 40L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))
+    } yield (g, v)
+    check(Prop.forAll(shapedGen(row)) { s =>
+      val df = shape(s.rows.toDF("g", "v"), s)
+      val h = Fns.hashBase(col("v").cast("string"))
+      val k = 2 + (s.k % 8) // vary the sketch size with the shape too (>= 2)
+      val got = df.groupBy("g")
+        .agg(KmvAgg.kmv(h, k).as("mins"))
+        .as[(String, Seq[Long])].collect().toMap
+      val truth = df.filter(col("v").isNotNull)
+        .select(col("g"), h.as("h")).distinct()
+        .as[(String, Long)].collect()
+        .groupBy(_._1)
+        .map { case (g, rows) =>
+          g -> rows.map(_._2).distinct.sorted.take(k).toSeq
+        }
+      // every group appears (all-null groups with an EMPTY min-set),
+      // and each min-set equals the sorted distinct head exactly
+      got.keySet == s.rows.map(_._1).toSet &&
+        got.forall { case (g, m) => m == truth.getOrElse(g, Seq.empty) }
+    })
+  }
 }
