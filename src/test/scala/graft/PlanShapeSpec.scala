@@ -105,7 +105,9 @@ class PlanShapeSpec extends SparkSpec {
         "over the vocabulary²-bounded checkpointed pair table (the " +
         "output sort is a parallel range sort)"),
       "q104_kmv_distinct" -> ("event-type groups ≪ corpus (sketch " +
-        "rows: one per group, each O(k) state)"))
+        "rows: one per group, each O(k) state)"),
+      "q107_windowed_kmv_rollup" -> ("event-type groups ≪ corpus " +
+        "(one rolled-up sketch row per group)"))
     // q58 excluded: building its frame executes the full
     // write→stream→append loop (side effects, ~seconds); its final
     // query is perProblemStats, which ends in a parallel orderBy.
