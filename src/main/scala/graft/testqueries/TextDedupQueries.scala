@@ -253,6 +253,42 @@ object TextDedupQueries {
       JOIN mh mb ON mb.doc_id = c.b_id AND ma.j = mb.j
       GROUP BY c.a_id, c.b_id ORDER BY a_id, b_id""")),
 
+    // Per-doc LSH candidate COUNT — q22's aggregate consumer (the
+    // q39->q76 discipline applied to dedup): the pair list grows with
+    // duplication² (measured 9.4x for 3.3x data at sf10) but the count
+    // needs only distinct-signature group sizes + matched-partner
+    // sums; rows out = docs, never pairs. The oracle counts distinct
+    // partners from the enumerated doc-level pair list — affordable at
+    // oracle scale, which is exactly the point of the split.
+    QueryDef("q109_lsh_candidate_counts",
+      (s, d) => QueryDef.sortedP(
+        graft.ops.Dedup
+          .minhashLshCandidateCounts(documents(s, d), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_candidates")),
+        col("doc_id")),
+      Some(s"""WITH $minhashSql,
+      sig AS (
+        SELECT doc_id, list(CAST(mh AS VARCHAR) ORDER BY j) AS sig
+        FROM mh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b,
+          md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ','
+            || sig[b*4+4]) AS bh
+        FROM sig, UNNEST(range(0, 4)) t(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      parts AS (
+        SELECT a_id AS id, b_id AS p FROM cand
+        UNION ALL SELECT b_id, a_id FROM cand),
+      cnt AS (
+        SELECT id, COUNT(DISTINCT p) AS n FROM parts GROUP BY id)
+      SELECT s.doc_id,
+        CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_candidates
+      FROM sig s LEFT JOIN cnt ON s.doc_id = cnt.id
+      ORDER BY doc_id""")),
+
     // Exact n-gram Jaccard near-dup: shared-shingle candidate join,
     // |A∩B| / (|A|+|B|−|A∩B|), threshold 0.3.
     // The declared path exercises the df-capped join (maxDf = 50): the

@@ -32,6 +32,35 @@ class OpsSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("est_sim") < 1.0))
   }
 
+  test("LSH candidate counts == counts derived from the pair list") {
+    // duplication-heavy corpus: 5 verbatim copies + 2 near-dups + an
+    // isolated doc — the aggregate must agree with per-doc partner
+    // counts read off the enumerated pairs, including the zero row
+    val dup = (1L to 5L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again today"))
+    val near = Seq(
+      (6L, "the quick brown fox jumps over the lazy cat again today"),
+      (7L, "the quick brown fox jumps over the lazy cow again today"))
+    val lone = Seq(
+      (8L, "completely different words form unrelated content here now"))
+    val corpus = (dup ++ near ++ lone).toDF("doc_id", "text")
+    val got = Dedup
+      .minhashLshCandidateCounts(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val fromPairs = pairs.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (id, ps) =>
+        id -> ps.map(_._2).distinct.size.toLong
+      }
+    assert(got.size == 8)
+    got.foreach { case (id, n) =>
+      assert(n == fromPairs.getOrElse(id, 0L),
+        s"doc $id: aggregate $n vs pairs ${fromPairs.getOrElse(id, 0L)}")
+    }
+    assert(got(1L) >= 4L) // each copy sees at least its 4 twins
+  }
+
   test("full near-dup pipeline: LSH candidates -> groups -> kept corpus") {
     // the composed at-scale shape: candidate pairs from banding,
     // transitive closure, one representative kept per dup cluster
