@@ -150,6 +150,12 @@ def run_one(sf_dir, out_dir, name):
 
 def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # GRAFT_COMPARE_ONLY=qA,qB restricts the run — lets a killed gate
+    # resume on just the queries that have no OK line yet.
+    only = os.environ.get("GRAFT_COMPARE_ONLY")
+    if only:
+        keep = set(only.split(","))
+        oracle = {n: s for n, s in oracle.items() if n in keep}
     ok = bad = 0
     # Unattended-gate knobs (sf3 lesson: one ~quadratic oracle can hold
     # the whole gate hostage for an hour). GRAFT_COMPARE_SUBPROC=1
