@@ -93,9 +93,17 @@ object PipelineQueries {
     // the single-threaded window cumsum the distributed form must
     // equal bit-for-bit.
     QueryDef("q88_token_packing",
-      (s, d) => Packing.packTokens(documents(s, d), "doc_id",
-        size(Fns.words(col("text"))), PackBudget)
-        .sortWithinPartitions("doc_id"),
+      // sortedP, not a bare sortWithinPartitions: packTokens' output is
+      // narrow over its localCheckpoint, and checkpoint blocks carry
+      // locality preferences that route a downstream coalesce(1)
+      // through the locality-aware partition coalescer — partition
+      // CONCAT order is then unspecified (sf10 gate caught the dump
+      // rotated). The range exchange re-establishes ordered ranges and
+      // strips the locality prefs; it shuffles six longs per doc.
+      (s, d) => QueryDef.sortedP(
+        Packing.packTokens(documents(s, d), "doc_id",
+          size(Fns.words(col("text"))), PackBudget),
+        col("doc_id")),
       Some(s"""WITH t AS (
           SELECT doc_id,
             len(string_split_regex(trim(text), '\\s+'))::BIGINT
