@@ -159,6 +159,47 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("no declared tail is narrow over cached/checkpointed partitions") {
+    // The q88 sf10 find: Verify's coalesce(1) groups partitions via the
+    // locality-aware coalescer, and a final stage whose narrow lineage
+    // reaches cached/localCheckpointed partitions carries per-block
+    // executor locations — block EVICTION then makes the location set
+    // partial and the partition CONCAT order rotates (values exact,
+    // file order wrong). A shuffle boundary both re-establishes
+    // ordered ranges and cuts the location walk, so: every declared
+    // query's final stage must NOT reach a materialized RDD without
+    // crossing a shuffle. graft.tools.LocProbe measures the mechanism;
+    // SCALE.md "sf10 executed-correctness gate" has the post-mortem.
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    def materializedInFinalStage(r: RDD[_]): Boolean =
+      (r.getStorageLevel != StorageLevel.NONE || r.isCheckpointed) ||
+        r.dependencies.exists {
+          case d: org.apache.spark.NarrowDependency[_] =>
+            materializedInFinalStage(d.rdd)
+          case _ => false // shuffle boundary: below is a separate stage
+        }
+    // positive control: the pre-fix q88 tail form (bare
+    // sortWithinPartitions narrow over packTokens' localCheckpoint)
+    // MUST trip the detector, or this guard guards nothing
+    val preFix = graft.ops.Packing.packTokens(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id",
+      size(split(trim(col("text")), "\\s+")), 128L)
+      .sortWithinPartitions("doc_id")
+    assert(materializedInFinalStage(preFix.queryExecution.toRdd),
+      "detector failed to flag the known-bad pre-fix q88 tail form")
+    val skip = Set("q58_stream_ingest_stats") // side-effecting build
+    graft.testqueries.Registry.all
+      .filterNot(q => skip(q.name)).foreach { q =>
+        val rdd = q.run(spark, sf).queryExecution.toRdd
+        assert(!materializedInFinalStage(rdd),
+          s"${q.name}: final stage is narrow over cached/checkpointed " +
+            "partitions — partition-order-dependent sinks (Verify's " +
+            "single-file dump) can come out rotated under block " +
+            "eviction; end the query in QueryDef.sortedP/an exchange")
+      }
+  }
+
   test("interactive canonical path stays a single stage, zero exchanges") {
     // the zero-exchange claim covers SRM + clustering (+ the join, which
     // broadcasts its dims); per_problem_stats is NOT claimed — its
