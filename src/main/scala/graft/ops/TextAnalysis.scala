@@ -332,11 +332,19 @@ object TextAnalysis {
     * order — which Spark and DuckDB disagree on — cannot change the
     * result; the final per-word mean is a single double division.
     * Scale shape: one aggregation over the word stream builds the
-    * vocabulary; the probability table joins back on the word (small
-    * side broadcast by AQE at bounded vocabularies; at web-scale
-    * vocabularies the same equi-join shuffles hash-clustered). */
+    * vocabulary; the probability table joins back on the word with an
+    * EXPLICIT broadcast of the vocab side (`unigramBroadcastVocab =
+    * false` for web-scale vocabularies → plain hash-clustered
+    * equi-join). Explicit because Spark's size estimate for the word
+    * stream is the PRE-explode document size, which sat under the
+    * broadcast threshold at mid scale and flipped the join to
+    * BuildLeft — broadcasting the exploded CORPUS (37M rows at sf3,
+    * measured 11 s vs 4 s at sf10 where the estimate crossed the
+    * threshold and the plan fell back to the sane shuffle join).
+    * Never let a planner pick the build side of a join whose one leg
+    * is corpus-proportional: the estimate, not the data, decides. */
   def unigramLmScore(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, broadcastVocab: Boolean = true): DataFrame = {
     val w = docs.select(col(idCol).as("id"),
       explode(Fns.words(col(textCol))).as("w"))
     val counts = w.groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -345,7 +353,9 @@ object TextAnalysis {
       .select(col("w"),
         round(-log(col("cnt").cast("double") / col("tot").cast("double")),
           6).cast("decimal(28,6)").as("nll"))
-    w.join(probs, Seq("w"))
+    val probSide = if (broadcastVocab) broadcast(probs)
+      else probs.hint("shuffle_hash")
+    w.join(probSide, Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"),
         (sum(col("nll")).cast("double") / count(lit(1))).as("lm_nll"))
