@@ -200,6 +200,37 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("no broadcast exchange builds from an un-aggregated explode") {
+    // The q84 find: the planner sizes a join leg by its PRE-explode
+    // scan bytes, so an exploded corpus stream can look "small enough
+    // to broadcast" and the join flips to building the corpus side
+    // (measured: 37M-row broadcast at sf3, 6.5x slower than the
+    // explicit vocab broadcast). A BroadcastExchange whose subtree
+    // contains a Generate with NO aggregation in between is that bug
+    // class — an aggregation collapses cardinality and makes the
+    // estimate honest again. Corpus-proportional legs must never be
+    // planner-chosen build sides: broadcast the bounded side
+    // explicitly (unigramLmScore, bm25Rank) or hint shuffle_hash.
+    import org.apache.spark.sql.execution.SparkPlan
+    def rawGenerateBelow(n: SparkPlan): Boolean =
+      if (n.nodeName.contains("Aggregate")) false
+      else n.nodeName.contains("Generate") ||
+        n.children.exists(rawGenerateBelow)
+    val skip = Set("q58_stream_ingest_stats") // side-effecting build
+    graft.testqueries.Registry.all
+      .filterNot(q => skip(q.name)).foreach { q =>
+        val plan = q.run(spark, sf).queryExecution.executedPlan
+        val hits = plan.collect {
+          case n if n.nodeName.contains("BroadcastExchange") &&
+            rawGenerateBelow(n) => n
+        }
+        assert(hits.isEmpty,
+          s"${q.name}: broadcast builds from an un-aggregated explode " +
+            "— the pre-explode size estimate can flip the build side " +
+            s"to the corpus leg at scale:\n$plan")
+      }
+  }
+
   test("interactive canonical path stays a single stage, zero exchanges") {
     // the zero-exchange claim covers SRM + clustering (+ the join, which
     // broadcasts its dims); per_problem_stats is NOT claimed — its
