@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.plans.TopKAgg
 
 /** Corpus indexing primitives — the retrieval-side counterpart of the
   * dedup family: an inverted index (term → postings) and PMI-scored
@@ -32,18 +33,31 @@ object Index {
     * (stopword terms); `df`/`tf` stay EXACT over all docs — only the
     * materialized id list is capped, and `postings_capped` says so
     * loudly per row.
+    *
+    * The cap bounds AGGREGATION STATE, not just output: the posting
+    * list is a [[graft.plans.TopKAgg]] (rank = id = doc_id, k =
+    * maxPostings), so each term's buffer holds at most k ids and
+    * map-side partial aggregation discards above-cutoff ids BEFORE
+    * the exchange. The earlier `slice(array_sort(collect_list(...)))`
+    * form produced identical rows but materialized a stopword term's
+    * FULL doc-id list in one ObjectHashAggregate buffer first — a
+    * single-buffer OOM at crawl scale. Doc ids must be long-castable
+    * (the heap ranks native longs; a string-id corpus assigns
+    * surrogate ids first, the standard index-build step).
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       maxPostings: Int = 1000): DataFrame = {
     val perDoc = docs
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).cast("long").as("doc_id"),
         explode(filter(tokens(textCol), t => length(t) > 0)).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
     perDoc.groupBy("term")
       .agg(count(lit(1)).as("df"),
         sum("tf").as("tf_total"),
         array_join(
-          slice(array_sort(collect_list(col("doc_id"))), 1, maxPostings),
+          transform(
+            TopKAgg.topK(col("doc_id"), col("doc_id"), maxPostings),
+            p => p.getField("id").cast("string")),
           ",").as("postings"),
         (count(lit(1)) > maxPostings).as("postings_capped"))
   }

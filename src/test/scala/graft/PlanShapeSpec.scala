@@ -247,4 +247,18 @@ class PlanShapeSpec extends SparkSpec {
       assert(q.rdd.getNumPartitions == 1)
     }
   }
+
+  test("q94 posting lists aggregate through bounded TopKAgg state, " +
+      "never an unbounded collect_list") {
+    // The cap must bound the AGGREGATION BUFFER, not just the output:
+    // slice(array_sort(collect_list(...))) returns identical rows but
+    // materializes a stopword term's full posting list in one buffer
+    // before slicing — the single-buffer OOM class at crawl scale.
+    val df = byName("q94_inverted_index")
+    val plan = planOf(df)
+    assert(plan.contains("graft_topk"),
+      s"q94 postings must aggregate via TopKAgg (O(k) state):\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"unbounded collect_list feeding a capped posting column:\n$plan")
+  }
 }
