@@ -22,10 +22,19 @@ import graft.functions.Fns
   * just-merged symbol no longer equals the left constituent). Lineage
   * is checkpointed per round so plan analysis stays flat in k.
   *
-  * Learning is inherently iterative (merge k depends on merges
-  * 1..k-1), so there is no single-statement SQL equivalent — the
-  * declared query (q90) carries a rows-only oracle, and the spec
-  * asserts the textbook example corpus merges by hand.
+  * Learning is iterative (merge k depends on merges 1..k-1), but for a
+  * FIXED k it still has a single-statement SQL form: k chained CTE
+  * groups, each one pair-count aggregation + argmax + one literal
+  * replace over the `|`-wrapped word states (the [[encodeTokenCounts]]
+  * encoding, whose replace-all is property-equal to [[applyMerge]]'s
+  * leftmost-non-overlapping fold). The declared query (q90) carries
+  * exactly that oracle, so merge learning sits under the hard
+  * rows+schema+hash gate like everything else; the spec additionally
+  * asserts the textbook example corpus by hand. Words are normalized
+  * by stripping the `|` delimiter first — the same tokenizer
+  * normalization [[encodeTokenCounts]] applies, so training and
+  * inference agree on the symbol alphabet and the wrapped-string
+  * encoding can never be forged by input text.
   */
 object BpeTrain {
 
@@ -57,10 +66,13 @@ object BpeTrain {
     require(k >= 1, "learnMerges needs k >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    // split("") yields per-character symbols (words are non-empty by
-    // Fns.words construction)
+    // strip the delimiter (tokenizer normalization, identical to
+    // encodeTokenCounts and the oracle), drop words empty after it;
+    // split("") then yields per-character symbols
     var words = wordFrequencies(docs, textCol)
-      .select(split(col("word"), "").as("syms"), col("cnt"))
+      .select(regexp_replace(col("word"), "\\|", "").as("w"), col("cnt"))
+      .filter(length(col("w")) > 0)
+      .select(split(col("w"), "").as("syms"), col("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]

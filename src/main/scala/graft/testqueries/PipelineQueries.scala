@@ -41,6 +41,45 @@ object PipelineQueries {
     * subwords merge with each other on the synthetic vocabulary. */
   private val BpeK = 8
 
+  /** DuckDB replay of [[graft.ops.BpeTrain.learnMerges]] for a fixed
+    * round count: word-frequency table → |-wrapped symbol states →
+    * per round, pair counts from adjacent symbols (`string_split` on
+    * `||` after trimming the outer delimiters), the (count desc, pair
+    * asc) argmax, and the wrapped literal replace `|l||r|` → `|lr|`
+    * (leftmost-non-overlapping by construction — q99's encoding). */
+  private def bpeLearnOracle(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+          SELECT syms[x] AS l, syms[x + 1] AS r, SUM(cnt)::BIGINT AS pc
+          FROM (SELECT string_split(trim(s, '|'), '||') AS syms, cnt
+                FROM w${i - 1}),
+            UNNEST(range(1, len(syms))) t(x)
+          GROUP BY 1, 2),
+        m$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+        w$i AS (
+          SELECT replace(w.s, '|' || m.l || '||' || m.r || '|',
+            '|' || m.l || m.r || '|') AS s, w.cnt
+          FROM w${i - 1} w CROSS JOIN m$i m)"""
+    }.mkString(",\n        ")
+    val union = (1 to k).map { i =>
+      s"""SELECT $i::INT AS rank, l AS "left", r AS "right",
+          l || r AS merged, pc AS pair_cnt FROM m$i"""
+    }.mkString("\n        UNION ALL ")
+    s"""WITH wf AS (
+        SELECT replace(w, '|', '') AS w, SUM(c)::BIGINT AS cnt FROM (
+          SELECT w, COUNT(*)::BIGINT AS c FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE length(trim(text)) > 0)
+          GROUP BY w)
+        WHERE length(replace(w, '|', '')) > 0 GROUP BY 1),
+      w0 AS (
+        SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, cnt FROM wf),
+      $rounds
+      SELECT * FROM (
+        $union)
+      ORDER BY rank"""
+  }
+
   /** Count-Min geometry for q91/q92: width 64 over a few hundred
     * distinct users at sf0.01 forces real collisions (est > exact for
     * some keys) while the 4 independent rows keep most estimates
@@ -170,15 +209,19 @@ object PipelineQueries {
       }),
 
     // BPE merge learning on the corpus word-frequency table. Each
-    // merge depends on all earlier merges (inherently iterative, no
-    // single-statement SQL form — rows-only oracle); the textbook
-    // example corpus is spec-asserted by hand in PipelineOpsSpec, and
-    // determinism comes from the count-then-lexicographic tie-break.
+    // merge depends on all earlier merges, but for fixed k the whole
+    // learning run is one SQL statement: k chained CTE rounds over the
+    // |-wrapped word states (q99's encoding — replace-all on wrapped
+    // symbols IS the leftmost-non-overlapping merge fold,
+    // property-asserted in PipelineOpsSpec), each round one pair-count
+    // aggregation + one (count desc, pair asc) argmax + one literal
+    // replace. Determinism comes from that tie-break; the textbook
+    // example corpus is additionally spec-asserted by hand.
     QueryDef("q90_bpe_merges",
       (s, d) => BpeTrain.learnMerges(documents(s, d), col("text"),
           BpeK)
         .orderBy("rank"),
-      None),
+      Some(bpeLearnOracle(BpeK))),
 
     // Count-Min sketch build over the events key: the shuffle is
     // sketch-sized (map-side combine collapses each task to at most
