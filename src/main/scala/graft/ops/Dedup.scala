@@ -36,13 +36,23 @@ object Dedup {
   }
 
   /** Canonical text form for normalization-invariant dedup: case fold,
-    * strip every non-alphanumeric rune (punctuation, markup remnants,
-    * zero-width junk — the edits crawl mirrors most often disagree on),
-    * collapse runs of whitespace to one space, trim. Exposed so callers
-    * and the oracle share ONE definition. */
+    * strip every rune that is not a Unicode letter, digit, or ASCII
+    * whitespace (punctuation, markup remnants, emoji, zero-width junk —
+    * the edits crawl mirrors most often disagree on), collapse runs of
+    * whitespace to one space, trim. `\p{L}\p{N}` keeps CJK, Cyrillic,
+    * accented and fullwidth letters as content (an earlier `[^a-z0-9]`
+    * form silently deleted ALL non-ASCII letters, collapsing every
+    * non-Latin document to one duplicate class); codepoint-level
+    * lower + `\p{L}\p{N}\s` parity with DuckDB is probe-verified on a
+    * casing torture set (İ, ẞ, fullwidth, Roman numerals) and locked
+    * in by spec. Documents with NO letter/digit content (pure
+    * punctuation/emoji) still canonicalize to the empty string and
+    * share one content class — content-free after normalization is a
+    * deliberate merge, now scoped to genuinely symbol-only docs.
+    * Exposed so callers and the oracle share ONE definition. */
   def canonicalText(textCol: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(textCol), "[^a-z0-9\\s]", ""),
+      regexp_replace(lower(textCol), "[^\\p{L}\\p{N}\\s]", ""),
       "\\s+", " "))
 
   /** Normalization-invariant exact dedup: [[exact]] over

@@ -172,7 +172,7 @@ object IndexQueries {
         col("content_hash")),
       Some("""SELECT
           md5(trim(regexp_replace(
-            regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+            regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
             '\s+', ' ', 'g'))) AS content_hash,
           MIN(doc_id) AS keep_id, COUNT(*) AS copies
         FROM documents GROUP BY 1 ORDER BY content_hash""")),

@@ -1,24 +1,29 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway scratchpad for engine-parity probes (not part of the library). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = args.headOption.getOrElse("/root/repo/data/sf3")
-    val df = graft.ops.TextAnalysis.unigramLmScore(
-      spark.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(f"Q84PROBE $d ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    println(df.queryExecution.executedPlan.toString.take(6000))
+    // Unicode canonicalText parity probe: print codepoints so a
+    // DuckDB-side diff is byte-exact, not terminal-rendering-exact.
+    val df = spark.read.parquet("/tmp/unitest/t.parquet")
+      .select(col("id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("t")), "[^\\p{L}\\p{N}\\s]", ""),
+          "\\s+", " ")).as("c"))
+      .orderBy("id")
+    df.collect().foreach { r =>
+      val cps = r.getString(1).codePoints().toArray.toSeq
+        .map(c => f"U+$c%04X").mkString(" ")
+      println(s"PROBE ${r.getLong(0)} [${r.getString(1)}] $cps")
+    }
     spark.stop()
   }
 }

@@ -100,6 +100,34 @@ class IndexOpsSpec extends SparkSpec {
     assert(groups.toSeq == Seq((1L, 3L), (4L, 1L)))
   }
 
+  test("canonicalText keeps non-Latin letters as content (DuckDB-" +
+      "parity torture set, codepoint-exact)") {
+    // Expected strings were computed in DuckDB with the mirrored SQL
+    // (lower + [^\p{L}\p{N}\s] strip + \s+ collapse + trim) and
+    // matched Spark codepoint-for-codepoint in the round-7 probe —
+    // İ/ẞ special casings, fullwidth forms, Roman numerals, NBSP/
+    // em-space (ASCII-\s junk on both engines), symbol-only → empty.
+    val rows = Seq(
+      "Héllo, Wörld!" -> "héllo wörld",
+      "ПРИВЕТ мир" -> "привет мир",
+      "中文，测试。" -> "中文测试",
+      "İstanbul I ı" -> "istanbul i ı",
+      "straße ẞ" -> "straße ß",
+      "１２３ ４５" -> "１２３ ４５",
+      "😀 🎉 !!!" -> "",
+      "ⅣⅢ ①②" -> "ⅳⅲ ①②",
+      "mixed\u00A0space\u2003x" -> "mixedspacex",
+      "a b\tc" -> "a b c")
+    val got = rows.map(_._1).toDF("text")
+      .select(Dedup.canonicalText(col("text"))).as[String].collect()
+    assert(got.toSeq == rows.map(_._2),
+      "canonicalText diverged from the DuckDB-verified torture set")
+    // distinct non-Latin documents must NOT share a content class
+    val docs = Seq((1L, "中文一"), (2L, "中文二"), (3L, "русский"))
+      .toDF("id", "text")
+    assert(Dedup.normalizedExact(docs, "id", "text").count() == 3)
+  }
+
   test("encodeTokenCounts matches the fold-based BPE inference") {
     // includes the overlap case (l l l) and a literal '|' in the text
     val docs = Seq(
