@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   *      `spark_partition_id()`,
   *   3. per-partition TOTALS (P rows, P = shuffle partitions — bounded
   *      by cluster config, not data) collected, prefix-summed on the
-  *      driver, and broadcast back as per-partition base offsets.
+  *      driver, and BROADCAST-JOINED back as per-partition base
+  *      offsets. The join build side is the P-row offset frame, so the
+  *      stream side keeps its partitioning (no exchange) and the
+  *      per-row work is one hash probe — NOT a P-branch `when` chain,
+  *      which at cluster partition counts (P in the thousands) blows
+  *      past codegen method limits and degrades to interpreted
+  *      evaluation of a P-deep expression per row.
   * The slim (id, n_toks) projection is localCheckpointed before step 3
   * so the sort executes ONCE (the totals action and the final read both
   * reuse it) — two longs per row, not the corpus text.
@@ -54,11 +60,13 @@ object Packing {
     val pids = totals.keys.toSeq.sorted
     val offsets = pids.zip(
       pids.map(totals).scanLeft(0L)(_ + _).dropRight(1)).toMap
-    val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-      when(col("__pid") === p, lit(off)).otherwise(acc)
-    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsetDf =
+      offsets.toSeq.sorted.toDF("__pid", "__off")
     local
-      .withColumn("tok_end", offsetCol + col("__local"))
+      .join(broadcast(offsetDf), "__pid")
+      .withColumn("tok_end", col("__off") + col("__local"))
       .withColumn("tok_start", col("tok_end") - col("n_toks"))
       .withColumn("bin_start", expr(s"tok_start div ${budget}L"))
       .withColumn("bin_end",

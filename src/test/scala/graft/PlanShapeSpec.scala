@@ -248,6 +248,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("packTokens offsets apply as a broadcast join, not a P-branch " +
+      "when chain") {
+    // The per-partition base offsets are a P-row frame; folding them
+    // into nested `when`s is correct at local partition counts but at
+    // cluster P (thousands) exceeds codegen method limits and falls
+    // back to interpreted evaluation of a P-deep expression per row.
+    // The broadcast join keeps the stream side's partitioning (zero
+    // shuffle above the checkpoint) and costs one hash probe per row.
+    val out = graft.ops.Packing.packTokens(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id",
+      size(split(trim(col("text")), "\\s+")), 128L)
+    val plan = planOf(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets must join, not fold into expressions:\n$plan")
+    val (sh, _) = exchanges(out)
+    assert(sh == 0,
+      s"offset application added a shuffle over checkpointed rows:\n$plan")
+    assert(!plan.contains("CASE WHEN (__pid"),
+      s"P-branch when chain reintroduced:\n$plan")
+  }
+
   test("q94 posting lists aggregate through bounded TopKAgg state, " +
       "never an unbounded collect_list") {
     // The cap must bound the AGGREGATION BUFFER, not just the output:
