@@ -796,8 +796,14 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
       // existence via the warehouse path's FileSystem (HDFS/S3A/local),
       // same as compact — not java.io.File
       val p = new org.apache.hadoop.fs.Path(dir(t))
-      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
         load(t).createOrReplaceTempView(t)
+        // `VERSION AS OF n` resolves through the manifest at analysis
+        // time (GraftExtensions must be installed on the session);
+        // same semantics as load(t, asOf = n)
+        graft.plans.GraftTimeTravel.register(spark, t,
+          v => load(t, v).queryExecution.analyzed)
+      }
     }
     spark.sql(sql)
   }

@@ -16,11 +16,17 @@ import org.apache.spark.sql.SparkSessionExtensions
   * Scalar expressions AND the native aggregates are injected — the
   * analyzer wraps an AggregateFunction returned by a builder in its
   * AggregateExpression, so the aggregates work in plain SQL GROUP BYs.
-  * Nothing in the reference's surface needs a custom Rule/Strategy
-  * (SURVEY §4) — injection is limited to functions.
+  * The reference's query surface needs no custom Strategy (SURVEY §4);
+  * the one injected RULE is [[ResolveGraftTimeTravel]], which resolves
+  * `VERSION AS OF` over snapshot-lite lakehouse tables (the Iceberg
+  * SQL form) ahead of the built-in `ResolveRelations`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Hints batch: runs BEFORE Resolution, where ResolveRelations
+    // would hard-fail VERSION AS OF over the lakehouse temp views.
+    ext.injectHintResolutionRule(session =>
+      ResolveGraftTimeTravel(session))
     ext.injectFunction((GitBlobHashExpr.identifier, GitBlobHashExpr.info,
       GitBlobHashExpr.builder))
     ext.injectFunction((GitBlobHashExpr.sha1Identifier,

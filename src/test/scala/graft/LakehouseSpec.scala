@@ -119,6 +119,44 @@ class LakehouseSpec extends SparkSpec {
       .forall(_.getAs[Long]("files") == 1)) // compacted to one file/dir
   }
 
+  test("VERSION AS OF SQL reads a pinned snapshot through query()") {
+    val wh = tmpDir("wh-ttsql")
+    val lake = new Lakehouse(spark, wh)
+    // v1: initial append; v2: destructive delete
+    lake.append("observations", Fixtures.observations, Schemas.observations)
+    lake.deleteWhere("observations", Schemas.observations,
+      col("implementation_id") === "i1")
+    assert(lake.currentVersion("observations") == 2)
+    // SQL form = programmatic load(table, asOf): v1 intact post-delete
+    val viaSql = lake.query(
+      "SELECT implementation_id, COUNT(*) AS n FROM observations " +
+        "VERSION AS OF 1 GROUP BY implementation_id ORDER BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val viaApi = lake.load("observations", 1)
+      .groupBy("implementation_id").count().orderBy("implementation_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(viaSql == viaApi && viaSql.exists(_._1 == "i1"))
+    // the bare name still resolves to the LIVE table (temp view)
+    assert(lake.query(
+      "SELECT COUNT(*) FROM observations WHERE implementation_id = 'i1'")
+      .collect().head.getLong(0) == 0)
+    // joins mixing versions work — each leg resolves independently
+    val mixed = lake.query(
+      """SELECT COUNT(*) FROM observations VERSION AS OF 1 a
+         JOIN observations b USING (implementation_id, test_id, run_id,
+           environment_id, step_id)""").collect().head.getLong(0)
+    assert(mixed > 0)
+    // unregistered names fall through to the built-in error unchanged
+    val e = intercept[Exception](lake.query(
+      "SELECT * FROM no_such_table VERSION AS OF 1").collect())
+    assert(!e.getMessage.contains("graft"), e.getMessage)
+    // non-integer versions fail loudly with the table named
+    val e2 = intercept[Exception](lake.query(
+      "SELECT * FROM observations VERSION AS OF 'abc'").collect())
+    assert(e2.getMessage.contains("integer snapshot version"),
+      e2.getMessage)
+  }
+
   test("snapshot-lite: read-at-version survives delete, upsert, " +
       "compaction; vacuum expires loudly") {
     val wh = tmpDir("wh-tt")
