@@ -35,6 +35,14 @@ object Fns {
     * bottleneck); all-integer arithmetic stays in codegen and is exactly
     * reproducible in DuckDB. P = 1e9+7 keeps every product under 2^60. */
   val HashP = 1000000007L
+
+  /** Size of [[portableHash60]]'s output space: 15 hex digits = 2^60.
+    * Rank-based estimators (KMV) divide by this |H|; using the full
+    * 60-bit space instead of `mod P ≈ 2^30` keeps birthday collisions
+    * negligible until ~2^30 DISTINCT keys (P's space biases distinct
+    * estimates low from ~1e7-1e8 keys — the collision ceiling, not
+    * the sketch, became the error floor). */
+  val Hash60Space = 1L << 60
   def hashA(j: Int): Long = ((j + 1) * 2654435761L) % HashP
   def hashB(j: Int): Long = ((j + 1) * 40503L + 17) % HashP
   def hashBase(c: Column): Column = portableHash60(c) % HashP

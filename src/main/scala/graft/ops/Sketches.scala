@@ -101,27 +101,37 @@ object Sketches {
     * `(groupCols*, est_n)`. Exact (the min-set IS the distinct set)
     * below k distinct values; above, the k-th minimum's position in
     * the hash space gives `est = (k-1) * |H| div h_k` — integer floor
-    * division over the portable hash family, so the estimate replays
+    * division over the portable hash, so the estimate replays
     * bit-for-bit in an external engine (DISTINCT + ORDER BY + LIMIT k
-    * + the same division). Standard error ~1/sqrt(k-2). The shuffle
-    * carries at most k longs per (mapper, group); COUNT(DISTINCT)
-    * carries every distinct value. */
+    * + the same division). The hash is the FULL 60-bit
+    * [[Fns.portableHash60]] (|H| = 2^60), not the mod-P family: a
+    * rank statistic only needs comparability, and the ~2^30 mod-P
+    * space hits hash birthday collisions from ~1e7-1e8 distinct keys,
+    * biasing the estimate low and capping it at ~(k-1)·|H|/h_k
+    * regardless of the true cardinality. At |H| = 2^60 the
+    * 1/sqrt(k-2) standard error holds through ~1e9 distinct keys per
+    * group. The shuffle carries at most k longs per (mapper, group);
+    * COUNT(DISTINCT) carries every distinct value. */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], key: Column,
       k: Int): DataFrame = {
     import graft.plans.KmvAgg
     df.groupBy(groupCols.map(col): _*)
-      .agg(KmvAgg.kmv(Fns.hashBase(key.cast("string")), k).as("__mins"))
+      .agg(KmvAgg.kmv(Fns.portableHash60(key.cast("string")), k)
+        .as("__mins"))
       .select(groupCols.map(col) :+
         kmvEstimate(col("__mins"), k).as("est_n"): _*)
   }
 
-  /** Distinct-count estimate from a KMV min-set column: exact set
-    * size below k, `(k-1) * |H| div h_k` (integer floor division)
-    * once the set is full. */
+  /** Distinct-count estimate from a KMV min-set column over the
+    * 60-bit hash: exact set size below k, `(k-1) * 2^60 div h_k` once
+    * the set is full. The numerator exceeds a long for k > 8, so it
+    * is exact decimal(38,0) arithmetic into an integral division —
+    * still no FP anywhere (DuckDB mirror: HUGEINT `//`). */
   def kmvEstimate(mins: Column, k: Int): Column =
     when(size(mins) < k, size(mins).cast("long"))
       .otherwise(call_function("div",
-        lit((k - 1).toLong * Fns.HashP), element_at(mins, k)))
+        lit(k - 1).cast("decimal(38,0)") * lit(Fns.Hash60Space),
+        element_at(mins, k)))
 
   /** Sub-bucket count per power-of-two major range of the log
     * histogram: 16 geometric minors bound the relative quantile error

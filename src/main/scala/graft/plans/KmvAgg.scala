@@ -14,12 +14,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * one aggregation with O(k) state.
   *
   * The point next to Spark's built-in `hll_sketch_agg`: the KMV
-  * state over graft's portable md5-derived hash family
-  * ([[graft.functions.Fns.hashBase]]) is a plain sorted long array
-  * that an external engine reproduces exactly (DISTINCT hashes,
-  * ORDER BY, LIMIT k), so the distinct ESTIMATE — `(k-1) * |H| div
-  * h_k`, integer floor division, no FP anywhere — is oracle-checkable
-  * bit for bit, where the HLL sketch's register hashing is opaque.
+  * state over graft's portable md5-derived 60-bit hash
+  * ([[graft.functions.Fns.portableHash60]], |H| = 2^60) is a plain
+  * sorted long array that an external engine reproduces exactly
+  * (DISTINCT hashes, ORDER BY, LIMIT k), so the distinct ESTIMATE —
+  * `(k-1) * |H| div h_k`, exact integer arithmetic, no FP anywhere —
+  * is oracle-checkable bit for bit, where the HLL sketch's register
+  * hashing is opaque. The full 60-bit space matters: a rank statistic
+  * only needs hash comparability, and at |H| = 2^60 birthday
+  * collisions stay negligible through ~1e9 distinct keys per group,
+  * so the textbook 1/sqrt(k-2) standard error actually holds at data
+  * scale (a mod-2^30 space starts under-counting from ~1e7-1e8
+  * distinct keys — the collision ceiling becomes the error floor).
   * Sketches over disjoint corpora merge losslessly (union of min-sets
   * re-capped at k), the same property the incremental-stats layer
   * relies on for its HLL state.

@@ -159,8 +159,8 @@ object StatQueries {
           FROM events GROUP BY event_type),
         h AS (
           SELECT DISTINCT event_type,
-            (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-              ::BIGINT % ${graft.functions.Fns.HashP}) AS hv
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              ::BIGINT AS hv
           FROM events),
         r AS (
           SELECT event_type, hv,
@@ -171,8 +171,9 @@ object StatQueries {
         est AS (
           SELECT event_type,
             CASE WHEN MAX(nd) < ${KmvK} THEN MAX(nd)
-              ELSE (${KmvK - 1}::BIGINT * ${graft.functions.Fns.HashP})
-                // MAX(CASE WHEN rn = ${KmvK} THEN hv END)
+              ELSE CAST((${KmvK - 1}::HUGEINT *
+                  ${graft.functions.Fns.Hash60Space}::HUGEINT)
+                // MAX(CASE WHEN rn = ${KmvK} THEN hv END) AS BIGINT)
             END AS est_n
           FROM r GROUP BY event_type)
         SELECT event_type, CAST(exact_n AS BIGINT) AS exact_n,
@@ -303,7 +304,7 @@ object StatQueries {
         import graft.plans.KmvAgg
         import graft.functions.Fns
         val ev = events(s, d)
-        val h = Fns.hashBase(col("user_id").cast("string"))
+        val h = Fns.portableHash60(col("user_id").cast("string"))
         val daily = ev
           .groupBy(col("event_type"),
             date_trunc("day", col("ts")).as("day"))
@@ -333,8 +334,8 @@ object StatQueries {
           FROM events GROUP BY event_type),
         h AS (
           SELECT DISTINCT event_type,
-            (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-              ::BIGINT % ${graft.functions.Fns.HashP}) AS hv
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              ::BIGINT AS hv
           FROM events),
         r AS (
           SELECT event_type, hv,
@@ -345,8 +346,9 @@ object StatQueries {
         est AS (
           SELECT event_type,
             CASE WHEN MAX(nd) < ${WinK} THEN MAX(nd)
-              ELSE (${WinK - 1}::BIGINT * ${graft.functions.Fns.HashP})
-                // MAX(CASE WHEN rn = ${WinK} THEN hv END)
+              ELSE CAST((${WinK - 1}::HUGEINT *
+                  ${graft.functions.Fns.Hash60Space}::HUGEINT)
+                // MAX(CASE WHEN rn = ${WinK} THEN hv END) AS BIGINT)
             END AS est_n
           FROM r GROUP BY event_type)
         SELECT event_type, CAST(exact_n AS BIGINT) AS exact_n,
