@@ -21,25 +21,44 @@ object AnnRecall {
     val queries = e.filter(col("vec_id") < 50)
     val k = 5
 
+    // (pairs, seconds): wall time of the whole retrieve-and-collect is
+    // the probe COST axis of the recall curve — what an extra probe or
+    // plane actually buys/costs at this corpus size (warm, min of 2).
+    def pairsTimed(mk: => org.apache.spark.sql.DataFrame)
+        : (Set[(Long, Long)], Double) = {
+      def once(): (Set[(Long, Long)], Double) = {
+        System.gc()
+        val t0 = System.nanoTime()
+        val p = mk.select("q_id", "c_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (p, (System.nanoTime() - t0) / 1e9)
+      }
+      once() // warm scans + codegen
+      val (p1, t1) = once()
+      val (_, t2) = once()
+      (p1, math.min(t1, t2))
+    }
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("q_id", "c_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val exact = pairs(Similarity.bruteForceTopK(e, queries, "vec_id",
-      "embedding", k))
+    val (exact, exactS) = pairsTimed(Similarity.bruteForceTopK(e,
+      queries, "vec_id", "embedding", k))
     def recall(approx: Set[(Long, Long)]) =
       approx.intersect(exact).size.toDouble / exact.size
-    println(s"ANN_RECALL exact_pairs=${exact.size} (k=$k)")
+    println(f"ANN_RECALL exact_pairs=${exact.size} (k=$k) " +
+      f"brute_s=$exactS%.2f")
     Seq(2, 3, 4).foreach { p =>
-      val r = recall(pairs(Similarity.lshTopK(e, queries, "vec_id",
-        "embedding", k, planes = p)))
-      println(f"ANN_RECALL lsh planes=$p recall=$r%.3f " +
-        f"(scans ~1/${1 << p} of corpus)")
+      val (ap, s) = pairsTimed(Similarity.lshTopK(e, queries, "vec_id",
+        "embedding", k, planes = p))
+      println(f"ANN_RECALL lsh planes=$p recall=${recall(ap)}%.3f " +
+        f"cost_s=$s%.2f (scans ~1/${1 << p} of corpus)")
     }
     Seq(1, 2, 4, 8).foreach { np =>
-      val r = recall(pairs(Similarity.ivfTopK(e, queries, "vec_id",
-        "embedding", k, nCells = 8, nProbe = np)))
-      println(f"ANN_RECALL ivf cells=8 probe=$np recall=$r%.3f " +
+      val (ap, s) = pairsTimed(Similarity.ivfTopK(e, queries, "vec_id",
+        "embedding", k, nCells = 8, nProbe = np))
+      println(f"ANN_RECALL ivf cells=8 probe=$np " +
+        f"recall=${recall(ap)}%.3f cost_s=$s%.2f " +
         f"(scans ~$np/8 of corpus)")
     }
     // IVF recall-vs-(nCells, nProbe) surface at k=10, with and without
@@ -47,8 +66,9 @@ object AnnRecall {
     // to the data's modes buys at a fixed probe fraction. The scale
     // contract is recall@10 >= 0.9 at probe fraction <= 1/4.
     val k10 = 10
-    val exact10 = pairs(Similarity.bruteForceTopK(e, queries, "vec_id",
-      "embedding", k10))
+    val (exact10, exact10S) = pairsTimed(Similarity.bruteForceTopK(e,
+      queries, "vec_id", "embedding", k10))
+    println(f"ANN_RECALL exact10 brute_s=$exact10S%.2f")
     def recall10(approx: Set[(Long, Long)]) =
       approx.intersect(exact10).size.toDouble / exact10.size
     for {
@@ -56,11 +76,12 @@ object AnnRecall {
       probe <- Seq(1, 2, math.max(1, cells / 4))
       lloyd <- Seq(0, 2)
     } {
-      val r = recall10(pairs(Similarity.ivfTopK(e, queries, "vec_id",
+      val (ap, s) = pairsTimed(Similarity.ivfTopK(e, queries, "vec_id",
         "embedding", k10, nCells = cells, nProbe = probe,
-        lloydRounds = lloyd)))
+        lloydRounds = lloyd))
       println(f"ANN_RECALL ivf10 cells=$cells probe=$probe " +
-        f"lloyd=$lloyd recall10=$r%.3f (scans ~$probe/$cells)")
+        f"lloyd=$lloyd recall10=${recall10(ap)}%.3f cost_s=$s%.2f " +
+        f"(scans ~$probe/$cells)")
     }
     // The testdata embeddings are ISOTROPIC random vectors (median
     // pairwise cosine ~0): no cluster structure exists, so no IVF —

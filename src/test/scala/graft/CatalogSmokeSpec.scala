@@ -24,9 +24,9 @@ class CatalogSmokeSpec extends SparkSpec {
     // Rows-only queries (driver contract: "omit for non-SQL-expressible
     // ops") must be EXPLICITLY justified here — everything else needs a
     // full oracle, so a forgotten `None` cannot silently weaken a gate.
-    val rowsOnly = Set(
-      "q90_bpe_merges" // inherently iterative (merge k needs merges <k)
-    )
+    // Empty since round 7: q90 (the last holdout) gained a chained-CTE
+    // oracle — fixed-k iteration IS single-statement-expressible.
+    val rowsOnly = Set.empty[String]
     assert(
       oracles.size + rowsOnly.size == graft.testqueries.Registry.all.size)
     assert(rowsOnly.forall(n => !oracles.contains(n)),
