@@ -35,8 +35,24 @@ object StopwordStress {
       concat(lit("the w"), (col("id") % 1000000).cast("string"))
         .as("text"))
     val t0 = System.nanoTime()
-    val idx = graft.ops.Index.invertedIndex(docs, "doc_id", "text",
-      maxPostings = 1000)
+    // GRAFT_STOPWORD_UNBOUNDED=1 runs the PRE-FIX form (negative
+    // control): full collect_list sliced after the fact — the buffer
+    // the TopKAgg fix removed. Expected to OOM/spill-crawl under the
+    // small heap where the bounded form cruises.
+    val idx =
+      if (sys.env.get("GRAFT_STOPWORD_UNBOUNDED").contains("1")) {
+        val toks = split(regexp_replace(lower(trim(col("text"))),
+          "\\s+", " "), " ")
+        docs.select(col("doc_id"),
+            explode(filter(toks, t => length(t) > 0)).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"),
+            array_join(slice(array_sort(collect_list(col("doc_id"))),
+              1, 1000), ",").as("postings"),
+            (count(lit(1)) > 1000).as("postings_capped"))
+      } else graft.ops.Index.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 1000)
     val rows = idx.count()
     val the = idx.filter(col("term") === "the")
       .select("df", "tf_total", "postings_capped").collect().head
