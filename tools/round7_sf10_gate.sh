@@ -9,7 +9,7 @@
 #          escape hatch (GRAFT_COMPARE_THREADS=1, the path that passed
 #          at sf3) with a hard timeout — an ERR line is an honest
 #          still-skipped, never a silent pass.
-set -e
+set -e -o pipefail
 cd /root/repo
 CP=${GRAFT_SF10_CP:-/tmp/gate_classes_r7}
 rm -rf "$CP" && mkdir -p "$CP" \
@@ -34,13 +34,21 @@ PY
 )
 echo "comparing: $(echo "$ONLY" | tr ',' '\n' | wc -l) queries + 3 special-path"
 { echo "# gate sf10 copies=100 range_window_us=300000 emb_mod=${GRAFT_GATE_EMB_MOD} special=q74,q89(replay),q09(threads=1) $(date -u +%FT%TZ)";
+  # `|| true`: compare exits non-zero when ANY row is bad (e.g. the
+  # expected q65 one-shot-closure timeout), and this brace group is a
+  # set -e subshell — without it one ERR row silently skips every
+  # special-path replay below while tee's exit 0 masks the abort.
   GRAFT_COMPARE_ONLY="$ONLY" \
   GRAFT_COMPARE_SUBPROC=1 GRAFT_COMPARE_TIMEOUT_S=1800 \
-    python3 tools/compare.py /root/repo/data/sf10 /tmp/verify_sf10;
+    python3 tools/compare.py /root/repo/data/sf10 /tmp/verify_sf10 \
+    || true;
+  python3 tools/q65_sf10_replay.py /root/repo/data/sf10 /tmp/verify_sf10 \
+    | tail -1 || true;
   python3 tools/q89_replay.py /root/repo/data/sf10 /tmp/verify_sf10 \
-    | tail -1;
+    | tail -1 || echo "ERR  q89_pagerank: replay failed";
   python3 tools/q74_replay.py /root/repo/data/sf10 /tmp/verify_sf10 \
-    "${GRAFT_GATE_EMB_MOD}" | tail -1;
+    "${GRAFT_GATE_EMB_MOD}" | tail -1 \
+    || echo "ERR  q74_semantic_dedup: replay failed";
   timeout 3600 env GRAFT_COMPARE_THREADS=1 \
     python3 tools/compare.py --one /root/repo/data/sf10 /tmp/verify_sf10 \
     q09_behavioral_clustering \
