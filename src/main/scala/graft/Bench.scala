@@ -142,18 +142,24 @@ object Bench {
     val knobs = {
       import graft.testqueries.GateKnobs
       s""""knobs":{"range_window_us":${GateKnobs.rangeWindowUs},""" +
-        s""""emb_mod":${GateKnobs.embSampleMod}}"""
+        s""""emb_mod":${GateKnobs.embSampleMod},""" +
+        s""""jaccard_t":${GateKnobs.jaccardThreshold},""" +
+        s""""jaccard_maxdf":${GateKnobs.jaccardMaxDf}}"""
     }
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt",$knobs,"queries":$qjson,"q58_gate_s":$gateS,"maint_gate_s":$maintS,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
-    println(json)
-    // Also persist to a file: the driver captures a bounded stdout tail,
-    // and round 3's artifact lost q01-q04 + the total to that window.
-    // The file is the durable copy regardless of how stdout is captured.
+    val core =
+      s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt",$knobs,"queries":$qjson,"q58_gate_s":$gateS,"maint_gate_s":$maintS,"errors":$errJson,"sf":"$sfDir""""
+    // stdout gets ONLY the compact core as the process's final line:
+    // the driver captures a bounded stdout TAIL, and inlining the sf1
+    // artifact here grew the line past that window two rounds running
+    // (BENCH_r06/r07 "parsed": null). The inlined-sf1 full form still
+    // exists — in bench_last.json, which has no length constraint.
+    val compact = core + "}"
+    val full = core + sf1Json + "}"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_last.json").toAbsolutePath,
-      (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // stdout already has it
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // stdout still gets the compact
+    println(compact)
     spark.stop()
   }
 }

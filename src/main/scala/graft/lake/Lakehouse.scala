@@ -282,8 +282,44 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
     * aligned across schema evolution (missing columns read as typed
     * NULLs on the older side). `fromV = 0` diffs against empty. */
   def changeDiff(table: String, fromV: Int, toV: Int): DataFrame = {
+    val (af, bf, _) = alignedSnapshots("changeDiff", table, fromV, toV)
+    bf.exceptAll(af).withColumn("_change", lit("insert"))
+      .unionByName(af.exceptAll(bf).withColumn("_change", lit("delete")))
+  }
+
+  /** [[changeDiff]] in COUNT form: one row per DISTINCT changed row,
+    * `_change` = insert/delete plus its multiplicity `n` — the shape
+    * an aggregate consumer should read. `changeDiff` plans through
+    * Spark's exceptAll rewrite, which ends in Generate(ReplicateRows):
+    * fine when the caller wants the rows themselves (the expansion IS
+    * the output), a pure waste when the next operator aggregates them
+    * back down (materialize |diff| rows to count them — the q45/q79
+    * scale lesson; PlanShapeSpec bans Aggregate-over-ReplicateRows).
+    * Here the multiplicity never expands: one union + one full-row
+    * group-by (NULLs group as equal, matching bag semantics), delta =
+    * Σ(+1 per to-side row, −1 per from-side row), same single-shuffle
+    * cost as exceptAll's own rewrite minus the Generate. */
+  def changeDiffCounts(table: String, fromV: Int, toV: Int): DataFrame = {
+    val (af, bf, names) =
+      alignedSnapshots("changeDiffCounts", table, fromV, toV)
+    bf.withColumn("__tag", lit(1L))
+      .unionByName(af.withColumn("__tag", lit(-1L)))
+      .groupBy(names.map(col): _*)
+      .agg(sum("__tag").as("__delta"))
+      .filter(col("__delta") =!= 0)
+      .select(names.map(col) ++ Seq(
+        when(col("__delta") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("_change"),
+        abs(col("__delta")).as("n")): _*)
+  }
+
+  /** Shared head of the two diff forms: both snapshots, columns
+    * aligned across schema evolution (missing columns read as typed
+    * NULLs on the older side). `fromV = 0` diffs against empty. */
+  private def alignedSnapshots(op: String, table: String, fromV: Int,
+      toV: Int): (DataFrame, DataFrame, Seq[String]) = {
     require(0 <= fromV && fromV < toV,
-      s"changeDiff: need 0 <= fromV < toV, got v$fromV..v$toV")
+      s"$op: need 0 <= fromV < toV, got v$fromV..v$toV")
     val b = load(table, toV)
     val a = if (fromV == 0) b.limit(0) else load(table, fromV)
     // union of both column sets, typed from whichever side has each
@@ -293,9 +329,7 @@ final class Lakehouse(spark: SparkSession, warehouse: String) {
       if (df.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-    val (af, bf) = (aligned(a), aligned(b))
-    bf.exceptAll(af).withColumn("_change", lit("insert"))
-      .unionByName(af.exceptAll(bf).withColumn("_change", lit("delete")))
+    (aligned(a), aligned(b), cols.map(_.name))
   }
 
   /** Roll the table's LIVE state back to snapshot `v` — Iceberg

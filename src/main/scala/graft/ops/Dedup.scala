@@ -36,23 +36,35 @@ object Dedup {
   }
 
   /** Canonical text form for normalization-invariant dedup: case fold,
-    * strip every rune that is not a Unicode letter, digit, or ASCII
-    * whitespace (punctuation, markup remnants, emoji, zero-width junk —
-    * the edits crawl mirrors most often disagree on), collapse runs of
-    * whitespace to one space, trim. `\p{L}\p{N}` keeps CJK, Cyrillic,
+    * map Unicode whitespace (space separators `\p{Zs}` — NBSP,
+    * en/em/ideographic space, precisely the `&nbsp;` remnants crawl
+    * mirrors disagree on — plus line/paragraph separators and NEL) to
+    * ASCII space, strip every remaining rune that is not a Unicode
+    * letter, digit, or ASCII whitespace (punctuation, markup remnants,
+    * emoji, zero-width junk), collapse runs of whitespace to one
+    * space, trim. Without the Zs pre-map, `foo bar` deleted the
+    * NBSP as non-content and concatenated the words — `foo bar` and
+    * `foo bar` canonicalized DIFFERENTLY, defeating the stated
+    * normalization-invariance. `\p{L}\p{N}` keeps CJK, Cyrillic,
     * accented and fullwidth letters as content (an earlier `[^a-z0-9]`
     * form silently deleted ALL non-ASCII letters, collapsing every
     * non-Latin document to one duplicate class); codepoint-level
-    * lower + `\p{L}\p{N}\s` parity with DuckDB is probe-verified on a
-    * casing torture set (İ, ẞ, fullwidth, Roman numerals) and locked
-    * in by spec. Documents with NO letter/digit content (pure
+    * lower + whitespace-map + `\p{L}\p{N}\s` parity with DuckDB is
+    * probe-verified on a casing torture set (İ, ẞ, fullwidth, Roman
+    * numerals, NBSP/em-space) and locked in by spec (`\x{...}` escapes
+    * parse identically in Java regex and RE2; `\uXXXX` does not exist
+    * in RE2). Documents with NO letter/digit content (pure
     * punctuation/emoji) still canonicalize to the empty string and
     * share one content class — content-free after normalization is a
-    * deliberate merge, now scoped to genuinely symbol-only docs.
-    * Exposed so callers and the oracle share ONE definition. */
+    * deliberate merge, surfaced by `content_free` in
+    * [[normalizedExact]]. Exposed so callers and the oracle share ONE
+    * definition. */
   def canonicalText(textCol: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(textCol), "[^\\p{L}\\p{N}\\s]", ""),
+      regexp_replace(
+        regexp_replace(lower(textCol),
+          "[\\p{Zs}\\x{2028}\\x{2029}\\x{0085}]", " "),
+        "[^\\p{L}\\p{N}\\s]", ""),
       "\\s+", " "))
 
   /** Normalization-invariant exact dedup: [[exact]] over
@@ -60,12 +72,21 @@ object Dedup {
     * punctuation, reflowed whitespace) that byte-exact dedup misses and
     * MinHash spends candidate pairs on. Same single hash-groupBy
     * shuffle; the canonicalization is per-row codegen'd expression
-    * work, so the operator costs exactly what [[exact]] costs plus two
-    * regex passes per row. */
+    * work, so the operator costs exactly what [[exact]] costs plus
+    * three regex passes per row.
+    *
+    * `content_free` marks the one deliberate non-content merge: docs
+    * whose canonical form is EMPTY (pure punctuation/emoji) all share
+    * one class. The flag lets downstream curation keep or drop
+    * symbol-only docs explicitly instead of discovering the merge by
+    * surprise. Computed from the group key itself (`content_hash =
+    * md5('')`) — no second canonicalization pass, and the oracle can
+    * mirror it verbatim. */
   def normalizedExact(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.groupBy(md5(canonicalText(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+      .withColumn("content_free", col("content_hash") === md5(lit("")))
 
   /** Word-n-gram shingle stream (id, s), duplicates included. Built
     * from arrays_zip of shifted slices + explode — no lambda

@@ -47,6 +47,18 @@ object Index {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       maxPostings: Int = 1000): DataFrame = {
+    // Fail fast on a non-integral id column: the permissive cast below
+    // would turn e.g. string ids into NULLs — silently collapsing all
+    // such docs into one (term, NULL) tf/df group while TopKAgg drops
+    // NULL ids from postings. A caller error must not become silent
+    // corruption; string-id corpora assign surrogate long ids first.
+    val idType = docs.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.ByteType] ||
+      idType.isInstanceOf[org.apache.spark.sql.types.ShortType] ||
+      idType.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+      idType.isInstanceOf[org.apache.spark.sql.types.LongType],
+      s"invertedIndex needs an integral id column (byte/short/int/" +
+        s"long); '$idCol' is $idType — assign surrogate long ids first")
     val perDoc = docs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(filter(tokens(textCol), t => length(t) > 0)).as("term"))

@@ -199,6 +199,70 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF ANN with ADAPTIVE per-query probing: instead of a fixed
+    * `nProbe`, each query probes its nearest cells (by centroid
+    * cosine) until the probed cells together hold at least
+    * `coverage` of the corpus's vectors — the minimal prefix of the
+    * centroid ranking whose cumulative CELL MASS reaches the target,
+    * never fewer than `minProbe` cells.
+    *
+    * Why mass, not cell count: a fixed probe=1 is exactly where the
+    * measured recall floor lives on clustered data (0.718–0.754 at
+    * 1/16 scan, `data/ann_sf1.txt`) — queries that land between
+    * clusters, and skewed cell masses where the nearest cell holds 2%
+    * of the corpus, both starve the candidate set while "1 cell"
+    * sounds like a fixed budget. Mass coverage is the quantity the
+    * scan cost actually scales with (each query reads
+    * Σ probed-cell rows), so the knob bounds COST directly and recall
+    * follows: measured recall@10 ≥ 0.97 on the clustered torture
+    * corpus at coverage 0.25 (tools/AnnRecall).
+    *
+    * Cost shape: identical joins to [[ivfTopK]] plus one cell-mass
+    * aggregation (nCells output rows) and a 1-row total — both
+    * broadcast; the per-query cell ranking window still runs on
+    * queries×centroids. The corpus is scanned once for assignment
+    * masses and once for candidates; a standing deployment
+    * materializes the assignment table once and amortizes both. */
+  def ivfTopKAdaptive(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int = 16,
+      coverage: Double = 0.25, minProbe: Int = 1,
+      lloydRounds: Int = 2): DataFrame = {
+    require(coverage > 0.0 && coverage <= 1.0 && minProbe >= 1)
+    val centroids =
+      ivfCentroids(corpus, idCol, vecCol, nCells, lloydRounds)
+        .localCheckpoint(true) // reused by both assignments below
+    val cells = assignCells(corpus, centroids, idCol, vecCol)
+    val masses = cells.groupBy("cell").agg(count(lit(1)).as("__mass"))
+      .localCheckpoint(true) // nCells rows; avoids a 3rd corpus scan
+    val total = masses.agg(sum("__mass").as("__total"))
+    // per-query centroid ranking, annotated with each cell's mass and
+    // the mass ACCUMULATED BEFORE it; keep the minimal covering prefix
+    // (the cell that crosses the target is included)
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("__sim"), col("cell"))
+    val qcells = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .join(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"),
+        Fns.cosine(col("qv"), col("cv")).as("__sim"))
+      .join(broadcast(masses), Seq("cell"), "left")
+      .withColumn("__mass", coalesce(col("__mass"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__before", coalesce(sum(col("__mass")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__rn") <= minProbe ||
+        col("__before") < col("__total") * coverage)
+      .select("q_id", "qv", "cell")
+    cells.join(broadcast(qcells), Seq("cell"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("c_id"),
+        Fns.cosine(col("qv"), col(vecCol)).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN top-k: bucket corpus and queries by
     * sign-random-projection, rank within the shared bucket. Trades recall
     * for a corpus-scan-free plan — at 100 TB each query touches one

@@ -34,13 +34,29 @@ object GraftTimeTravel {
     * plan. Resolution happens at ANALYSIS time against the manifest,
     * so a pinned version keeps resolving even after later rewrites
     * (the archive-aware readRels path). Keyed by the session OBJECT
-    * so concurrent sessions over different warehouses never cross. */
+    * so concurrent sessions over different warehouses never cross.
+    *
+    * Lifecycle: entries for STOPPED sessions are swept on every
+    * register (the resolver closures capture the session and its
+    * analyzed plans — without the sweep a closed session would stay
+    * strongly reachable from this global map forever). Within one
+    * live session the name space is intentionally session-global and
+    * last-write-wins — the same semantics as the temp views the
+    * lakehouse registers alongside: two Lakehouse instances over
+    * different warehouses sharing a session contend for the NAME, not
+    * the resolver map, and `Lakehouse.query` re-registers its own
+    * tables before parsing so its results always resolve against its
+    * own warehouse. */
   private val resolvers =
     TrieMap.empty[(SparkSession, String), Int => LogicalPlan]
 
   def register(session: SparkSession, table: String,
-      resolve: Int => LogicalPlan): Unit =
+      resolve: Int => LogicalPlan): Unit = {
+    resolvers.keysIterator.foreach { k =>
+      if (k._1.sparkContext.isStopped) resolvers.remove(k)
+    }
     resolvers.put((session, table.toLowerCase), resolve)
+  }
 
   private[plans] def lookup(session: SparkSession,
       name: String): Option[Int => LogicalPlan] =

@@ -111,16 +111,22 @@ object FunctionQueries {
         ORDER BY g_rf, g_ls, rf, ls""")),
 
     // Multiset semantics: EXCEPT ALL / INTERSECT ALL preserve
-    // duplicate counts (DISTINCT variants covered by q30).
+    // duplicate counts (DISTINCT variants covered by q30). Computed as
+    // count arithmetic (ops/Multiset) — the built-in exceptAll/
+    // intersectAll rewrite expands Generate(ReplicateRows) over ≤3
+    // hash keys, re-materializing the corpus through ≤3 tasks just so
+    // this query can count the rows back down (97.5 s at sf10 for 6
+    // output rows; the count-arithmetic form is two parallel partial
+    // aggs and a key-sized join). Same rows, same oracle.
     QueryDef("q45_set_ops_all",
       (s, d) => {
         val a = lineitem(s, d).select(col("l_returnflag").as("f"))
         val b = lineitem(s, d).filter(col("l_linestatus") === "O")
           .select(col("l_returnflag").as("f"))
-        a.exceptAll(b).groupBy("f").agg(count(lit(1)).as("n"))
+        graft.ops.Multiset.exceptAllCounts(a, b, Seq("f"))
           .withColumn("op", lit("except_all"))
           .unionByName(
-            a.intersectAll(b).groupBy("f").agg(count(lit(1)).as("n"))
+            graft.ops.Multiset.intersectAllCounts(a, b, Seq("f"))
               .withColumn("op", lit("intersect_all")))
           .orderBy("op", "f")
       },

@@ -40,4 +40,21 @@ object GateKnobs {
     * the clustering replay stays an exact equivalence on the subset. */
   val embSampleMod: Long =
     sys.env.get("GRAFT_GATE_EMB_MOD").map(_.toLong).getOrElse(1L)
+
+  /** q23 Jaccard threshold. Default 0.3. At sf10 the replicated
+    * corpus + the df-cap leave NO pair at ≥0.3 — the gate row was
+    * green but VACUOUS (0 rows on both engines proves nothing about
+    * the intersection/threshold logic). Gate scripts lower it at the
+    * extreme scale so the sf10 row exercises real pairs; candidate
+    * generation (and so oracle cost) is bounded by the df-cap either
+    * way — the knob only moves the final filter. */
+  val jaccardThreshold: Double =
+    sys.env.get("GRAFT_GATE_JACCARD_T").map(_.toDouble).getOrElse(0.3)
+
+  /** q23 shingle df-cap. Default 50. Scales with replication: a doc
+    * duplicated k× by ScaleUp multiplies every shingle's df by k, so
+    * a fixed cap silently drops ALL shared shingles once k > cap —
+    * the other half of the sf10 vacuity. */
+  val jaccardMaxDf: Int =
+    sys.env.get("GRAFT_GATE_JACCARD_MAXDF").map(_.toInt).getOrElse(50)
 }

@@ -161,21 +161,29 @@ object IndexQueries {
           ORDER BY n_chars DESC, doc_id) <= $Quota
         ORDER BY source, doc_id""")),
 
-    // Normalization-invariant exact dedup: case folded, punctuation
-    // stripped, whitespace collapsed — the trivial-edit duplicates
-    // byte-exact dedup misses. Same single-shuffle shape as q16; the
-    // canonical form is shared between engines via one definition
-    // (Dedup.canonicalText ≡ the SQL below).
+    // Normalization-invariant exact dedup: case folded, Unicode
+    // whitespace mapped to space, punctuation stripped, whitespace
+    // collapsed — the trivial-edit duplicates byte-exact dedup misses.
+    // Same single-shuffle shape as q16; the canonical form is shared
+    // between engines via one definition (Dedup.canonicalText ≡ the
+    // SQL below; \x{...} escapes parse identically in Java regex and
+    // RE2). content_free surfaces the deliberate symbol-only merge —
+    // derived from the group key (= md5('')) on both sides.
     QueryDef("q97_normalized_dedup",
       (s, d) => QueryDef.sortedP(
         Dedup.normalizedExact(documents(s, d), "doc_id", "text"),
         col("content_hash")),
-      Some("""SELECT
+      Some("""WITH c AS (SELECT doc_id,
           md5(trim(regexp_replace(
-            regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
-            '\s+', ' ', 'g'))) AS content_hash,
-          MIN(doc_id) AS keep_id, COUNT(*) AS copies
-        FROM documents GROUP BY 1 ORDER BY content_hash""")),
+            regexp_replace(
+              regexp_replace(lower(text),
+                '[\p{Zs}\x{2028}\x{2029}\x{0085}]', ' ', 'g'),
+              '[^\p{L}\p{N}\s]', '', 'g'),
+            '\s+', ' ', 'g'))) AS content_hash
+        FROM documents)
+        SELECT content_hash, MIN(doc_id) AS keep_id,
+          COUNT(*) AS copies, content_hash = md5('') AS content_free
+        FROM c GROUP BY content_hash ORDER BY content_hash""")),
 
     // Salted two-phase aggregation on the skewed event_type key:
     // bit-identical to the plain GROUP BY (integer counts, exact

@@ -318,10 +318,15 @@ object LayoutQueries {
           l.rollbackTo("docs", 2)                              // v4
           l
         }
-        val diff = lake.changeDiff("docs", 2, 3)
+        // COUNT-form diff: this consumer aggregates, so reading the
+        // row-expanded changeDiff would materialize |diff| rows via
+        // Generate(ReplicateRows) just to count them back down
+        // (PlanShapeSpec bans Aggregate-over-ReplicateRows); the
+        // counts form carries the multiplicity instead.
+        val diff = lake.changeDiffCounts("docs", 2, 3)
           .groupBy("_change", "lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_chars")).as("sum_chars"))
+          .agg(sum(col("n")).as("n_docs"),
+            sum(col("n_chars") * col("n")).as("sum_chars"))
           .withColumn("snap", lit("diff_v2_v3"))
         val live = lake.load("docs").groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),

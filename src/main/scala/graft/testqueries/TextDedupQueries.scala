@@ -295,13 +295,22 @@ object TextDedupQueries {
     // cap is the operator's scale story — an ultra-common shingle would
     // otherwise contribute df² candidate pairs — so the oracle-checked
     // query is the capped one, with the identical df filter in DuckDB.
+    // Threshold and df-cap are GateKnobs (defaults 0.3 / 50, which
+    // reproduce the un-knobbed query bit-for-bit): at sf10 the
+    // replication factor pushes every shared shingle's df past a
+    // fixed cap AND dilutes Jaccard below a fixed threshold, so the
+    // un-knobbed sf10 gate row was vacuously green (0 rows on both
+    // engines). Gate scripts scale both knobs there; the values are
+    // interpolated into Spark AND oracle from ONE definition.
     QueryDef("q23_ngram_jaccard",
       (s, d) => graft.ops.Dedup
-        .ngramJaccard(documents(s, d), "doc_id", "text", 0.3, maxDf = 50)
+        .ngramJaccard(documents(s, d), "doc_id", "text",
+          GateKnobs.jaccardThreshold, maxDf = GateKnobs.jaccardMaxDf)
         .transform(QueryDef.sorted1(_, col("a_id"), col("b_id"))),
       Some(s"""WITH $shingleSql,
       shc AS (SELECT doc_id, s FROM sh
-        QUALIFY COUNT(*) OVER (PARTITION BY s) <= 50),
+        QUALIFY COUNT(*) OVER (PARTITION BY s)
+          <= ${GateKnobs.jaccardMaxDf}),
       sz AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
       inter AS (
         SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
@@ -312,7 +321,8 @@ object TextDedupQueries {
       FROM inter
       JOIN sz sa ON a_id = sa.doc_id
       JOIN sz sb ON b_id = sb.doc_id
-      WHERE inter / (sa.sz + sb.sz - inter) >= 0.3
+      WHERE inter / (sa.sz + sb.sz - inter)
+        >= ${GateKnobs.jaccardThreshold}
       ORDER BY a_id, b_id""")),
 
     // SimHash: 32-bit signature — per-word 60-bit hash, per-bit ±1 vote,

@@ -111,6 +111,28 @@ object AnnRecall {
       println(f"ANN_RECALL ivf10-clustered cells=16 probe=$probe " +
         f"lloyd=$lloyd recall10=$r%.3f (scans ~$probe/16)")
     }
+    // Adaptive probing: each query probes its centroid ranking until
+    // the probed cells hold >= coverage of the corpus (mass-based, so
+    // the scan budget is bounded by construction). This is the fix
+    // for the fixed-probe=1 clustered floor above — coverage is the
+    // honest knob because scan cost scales with probed MASS, not with
+    // a cell count that can be 2% or 40% of the corpus.
+    for (cov <- Seq(1.0 / 16, 2.0 / 16, 4.0 / 16)) {
+      val r = cRecall(pairs(Similarity.ivfTopKAdaptive(clustered, cq,
+        "vec_id", "embedding", k10, nCells = 16, coverage = cov,
+        lloydRounds = 2)))
+      println(f"ANN_RECALL ivf10-clustered-adaptive cells=16 " +
+        f"coverage=$cov%.4f recall10=$r%.3f (scans ~coverage of corpus)")
+    }
+    // ... and on the isotropic corpus, where NO cell ranking is
+    // informative — adaptive must degrade gracefully to its budget
+    for (cov <- Seq(1.0 / 16, 4.0 / 16)) {
+      val (ap, s) = pairsTimed(Similarity.ivfTopKAdaptive(e, queries,
+        "vec_id", "embedding", k10, nCells = 16, coverage = cov,
+        lloydRounds = 2))
+      println(f"ANN_RECALL ivf10-adaptive cells=16 coverage=$cov%.4f " +
+        f"recall10=${recall10(ap)}%.3f cost_s=$s%.2f")
+    }
     // int8 quantization: full scan, 1/4 the bytes — recall loss is
     // rounding-only (per-vector scales cancel in the cosine)
     val rq = recall(pairs(Similarity.bruteForceTopKQuantized(e, queries,

@@ -36,6 +36,30 @@ class ExtensionOpsSpec extends SparkSpec {
       (1 to out.length).toSeq)
   }
 
+  test("adaptive ivf: coverage=1.0 equals brute force; tiny coverage " +
+      "equals probe-1; probed mass per query covers the target") {
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 6L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // coverage 1.0 probes every non-empty cell -> exact top-k
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", 3))
+    val full = pairs(Similarity.ivfTopKAdaptive(corpus, queries,
+      "vec_id", "embedding", 3, nCells = 4, coverage = 1.0))
+    assert(full == exact,
+      "coverage=1.0 must reduce to the exact scan")
+    // epsilon coverage stops at minProbe cells = classic probe-1
+    val p1 = pairs(Similarity.ivfTopK(corpus, queries, "vec_id",
+      "embedding", 3, nCells = 4, nProbe = 1))
+    val eps = pairs(Similarity.ivfTopKAdaptive(corpus, queries,
+      "vec_id", "embedding", 3, nCells = 4, coverage = 1e-9))
+    assert(eps == p1, "epsilon coverage must equal fixed probe=1")
+  }
+
   test("ivf centroids: deterministic across runs, Lloyd rounds move " +
       "centroids to cluster means") {
     // 4 well-separated clusters; seeds are hash-arbitrary rows, so

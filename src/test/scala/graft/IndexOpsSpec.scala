@@ -100,13 +100,32 @@ class IndexOpsSpec extends SparkSpec {
     assert(groups.toSeq == Seq((1L, 3L), (4L, 1L)))
   }
 
+  test("normalizedExact flags the symbol-only merge via content_free") {
+    // Emoji-/punctuation-only docs canonicalize to the empty string
+    // and DELIBERATELY share one class; content_free makes that merge
+    // visible so curation can keep or drop it explicitly.
+    val docs = Seq(
+      (1L, "😀 🎉"), (2L, "!!! ???"), (3L, "---"),
+      (4L, "real words here"), (5L, "Real  WORDS, here!"))
+      .toDF("id", "text")
+    val got = Dedup.normalizedExact(docs, "id", "text")
+      .orderBy("keep_id")
+      .select("keep_id", "copies", "content_free")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 3L, true), (4L, 2L, false)))
+  }
+
   test("canonicalText keeps non-Latin letters as content (DuckDB-" +
       "parity torture set, codepoint-exact)") {
     // Expected strings were computed in DuckDB with the mirrored SQL
-    // (lower + [^\p{L}\p{N}\s] strip + \s+ collapse + trim) and
-    // matched Spark codepoint-for-codepoint in the round-7 probe —
-    // İ/ẞ special casings, fullwidth forms, Roman numerals, NBSP/
-    // em-space (ASCII-\s junk on both engines), symbol-only → empty.
+    // (lower + Zs/line-sep → space + [^\p{L}\p{N}\s] strip + \s+
+    // collapse + trim) and matched Spark codepoint-for-codepoint in
+    // the round-7/round-8 probes — İ/ẞ special casings, fullwidth
+    // forms, Roman numerals, symbol-only → empty. Unicode whitespace
+    // (NBSP, em/thin/ideographic space, line/para sep, NEL) now maps
+    // to a word BOUNDARY on both engines ('foo\u00A0bar' dedups
+    // against 'foo bar'); zero-width space is format junk (Cf, not
+    // Zs) and is still deleted.
     val rows = Seq(
       "Héllo, Wörld!" -> "héllo wörld",
       "ПРИВЕТ мир" -> "привет мир",
@@ -116,7 +135,10 @@ class IndexOpsSpec extends SparkSpec {
       "１２３ ４５" -> "１２３ ４５",
       "😀 🎉 !!!" -> "",
       "ⅣⅢ ①②" -> "ⅳⅲ ①②",
-      "mixed\u00A0space\u2003x" -> "mixedspacex",
+      "mixed\u00A0space\u2003x" -> "mixed space x",
+      "thin\u2009ideo\u3000sep\u2028\u2029nel\u0085." ->
+        "thin ideo sep nel",
+      "zero\u200Bwidth" -> "zerowidth",
       "a b\tc" -> "a b c")
     val got = rows.map(_._1).toDF("text")
       .select(Dedup.canonicalText(col("text"))).as[String].collect()
@@ -199,5 +221,15 @@ class IndexOpsSpec extends SparkSpec {
         sum(col("value").cast("decimal(28,2)")).cast("double").as("s"))
       .orderBy("k").collect()
     assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("invertedIndex rejects a non-integral id column loudly") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(("docA", "one two"), ("docB", "two three"))
+      .toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Index.invertedIndex(docs, "id", "text")
+    }
+    assert(e.getMessage.contains("integral id column"))
   }
 }

@@ -254,9 +254,27 @@ class LakehouseSpec extends SparkSpec {
     assert(d34.filter(col("_change") =!= "delete").count() == 0)
     assert(canon(d34.drop("_change")) ==
       canon(obs.filter(col("step_id") === 0)))
+    // the COUNT form carries the same bag diff as the row form on
+    // every interval so far: expanding counts ≡ grouping rows
+    Seq((1, 2), (3, 4), (2, 4)).foreach { case (f, t) =>
+      val viaRows = lake.changeDiff("observations", f, t)
+        .groupBy(lake.changeDiff("observations", f, t).columns
+          .map(col).toSeq: _*)
+        .agg(count(lit(1)).as("n"))
+      val viaCounts = lake.changeDiffCounts("observations", f, t)
+      val cols = viaCounts.columns.sorted.toSeq
+      def c(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(col): _*).collect()
+          .map(_.toString).sorted.toSeq
+      assert(c(viaRows) == c(viaCounts), s"v$f..v$t diff forms differ")
+      // and the counts form must not plan a ReplicateRows expansion
+      assert(!viaCounts.queryExecution.executedPlan.toString
+        .toLowerCase.contains("replicaterows"))
+    }
     // v5: compaction rewrites files but changes no rows — empty diff
     lake.compact("observations", Schemas.observations)
     assert(lake.changeDiff("observations", 4, 5).count() == 0)
+    assert(lake.changeDiffCounts("observations", 4, 5).count() == 0)
     // the append-only check is on the INTERVAL, not what came after:
     // v1->v2 stays incrementally readable after the compaction
     // archived its files (delta resolves through _archive/)

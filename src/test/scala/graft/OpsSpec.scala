@@ -709,4 +709,31 @@ class OpsSpec extends SparkSpec {
       assert(math.round(aud.feature(b) * 2800.0) == wantAud(b), s"bin $b")
     }
   }
+
+  test("Multiset count arithmetic ≡ built-in exceptAll/intersectAll") {
+    // Differential against the engine's own bag semantics, including
+    // NULL keys (set ops group NULLs as equal, like GROUP BY) and keys
+    // present on only one side.
+    val a = Seq(Some("x"), Some("x"), Some("x"), Some("y"), None, None,
+      Some("only_a")).toDF("f")
+    val b = Seq(Some("x"), Some("y"), Some("y"), None,
+      Some("only_b")).toDF("f")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+        .sortBy(_._1)
+    val wantEx = canon(a.exceptAll(b).groupBy("f")
+      .agg(count(lit(1)).as("n")))
+    val gotEx = canon(graft.ops.Multiset.exceptAllCounts(a, b, Seq("f")))
+    assert(gotEx.toSeq == wantEx.toSeq, s"except_all: $gotEx vs $wantEx")
+    val wantIn = canon(a.intersectAll(b).groupBy("f")
+      .agg(count(lit(1)).as("n")))
+    val gotIn = canon(graft.ops.Multiset
+      .intersectAllCounts(a, b, Seq("f")))
+    assert(gotIn.toSeq == wantIn.toSeq,
+      s"intersect_all: $gotIn vs $wantIn")
+    // and the count-arithmetic plan must NOT replicate rows
+    val plan = graft.ops.Multiset.exceptAllCounts(a, b, Seq("f"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("replicaterows"), plan)
+  }
 }

@@ -200,6 +200,57 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("no declared plan aggregates over a ReplicateRows expansion") {
+    // The q45 find: Spark rewrites exceptAll/intersectAll as ±1 counts
+    // → Generate(ReplicateRows) → and on a low-cardinality key the
+    // pre-Generate Exchange hashes to ≤k tasks, so the Generate
+    // re-materializes corpus-sized row counts out of k buffer rows
+    // through those few tasks (measured: 97.5 s at sf10 for 6 output
+    // rows). The expansion is legitimate ONLY when the rows themselves
+    // are the output (Lakehouse.changeDiff's CDC row stream); the
+    // moment an Aggregate sits above it, the plan materialized |bag|
+    // rows just to count them back down — use ops/Multiset or
+    // Lakehouse.changeDiffCounts instead. Detector sanity both ways:
+    // the built-in count-consumer form must trip, the pure row-stream
+    // form must not.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // AdaptiveSparkPlanExec is a LEAF node — collect() stops at it, so
+    // unwrap to the inner (pre-AQE) plan before walking.
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    def aggOverReplicate(p: SparkPlan): Boolean = unwrap(p).collect {
+      case n if n.nodeName.contains("Aggregate") &&
+        n.children.exists(_.toString.toLowerCase
+          .contains("replicaterows")) => n
+    }.nonEmpty
+    def offends(df: DataFrame): Boolean = {
+      val exec = df.queryExecution.executedPlan
+      aggOverReplicate(exec) ||
+        unwrap(exec).subqueries.exists(aggOverReplicate)
+    }
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("f"))
+    val preFix = li.exceptAll(li.limit(10)).groupBy("f").count()
+    assert(offends(preFix),
+      "detector failed to flag the known-bad built-in exceptAll form")
+    val rowStream = li.exceptAll(li.limit(10)) // expansion IS output
+    assert(!offends(rowStream),
+      "detector must allow an output-sized CDC row expansion")
+    val skip = Set("q58_stream_ingest_stats") // side-effecting build
+    graft.testqueries.Registry.all
+      .filterNot(q => skip(q.name)).foreach { q =>
+        val df = q.run(spark, sf)
+        assert(!offends(df),
+          s"${q.name}: an Aggregate consumes a Generate(ReplicateRows)" +
+            s" expansion — materializing the bag to count it back " +
+            s"down; use ops/Multiset or changeDiffCounts:\n" +
+            planOf(df))
+      }
+  }
+
   test("no broadcast exchange builds from an un-aggregated explode") {
     // The q84 find: the planner sizes a join leg by its PRE-explode
     // scan bytes, so an exploded corpus stream can look "small enough

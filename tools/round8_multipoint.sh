@@ -1,0 +1,64 @@
+#!/bin/bash
+# Round-8 multi-point executed-scale refresh on post-fix code.
+#
+# Round 8 changed three operators that feed gated queries (q45 count-
+# arithmetic multiset ops, q97 Zs-aware canonicalText + content_free,
+# q23 knobbed threshold/df-cap) and hardened Bench's stdout contract.
+# This script renews every scale point on the SAME binary:
+#   - fast oracle gates (3s range window) at sf0.3 and sf3
+#   - knob-identical benches (30s window, emb_mod=4) at
+#     sf0.1/0.3/1/3/10 — ALL FIVE points from one binary, closing the
+#     round-7 gap where the sf10 bench point traced to round-6 code
+#   - five-point scaling fit -> scaling_fit_r8.md
+# bench_last.json is restored to the committed sf0.1 default-knob
+# snapshot afterwards (graft.Bench overwrites it on every run).
+#
+# set -eo pipefail (the round-7 script's gap, ADVICE r7): Bench runs
+# inside a pipe, and without pipefail a crashed Bench still exits 0
+# through `tail`, letting the cp below publish the PREVIOUS run's
+# bench_last.json as the new scale point. Belt and braces, bench30
+# also deletes bench_last.json before the run and refuses to copy if
+# the run didn't rewrite it.
+set -eo pipefail
+cd /root/repo
+CP=${GRAFT_MP_CP:-/tmp/gate_classes_r8mp}
+rm -rf "$CP" && mkdir -p "$CP" && cp -a target/scala-2.13/classes/. "$CP/"
+export GRAFT_CP="$CP"
+export GRAFT_GATE_EMB_MOD=4
+
+verify3 () { # label
+  rm -rf "/tmp/verify_$1"
+  GRAFT_GATE_RANGE_WINDOW_US=3000000 SPARK_GRAFT_CPUS=32 \
+    tools/run.sh graft.Verify "/root/repo/data/$1" "/tmp/verify_$1" \
+    > "/tmp/verify_$1.log" 2>&1
+  { echo "# gate $1 range_window_us=3000000 emb_mod=4 $(date -u +%FT%TZ)";
+    GRAFT_COMPARE_SUBPROC=1 GRAFT_COMPARE_TIMEOUT_S=1800 \
+      python3 tools/compare.py "/root/repo/data/$1" "/tmp/verify_$1"; } \
+    | tee "correctness_${1}_w3.txt"
+}
+bench30 () { # sfdir outfile
+  rm -f bench_last.json
+  GRAFT_GATE_RANGE_WINDOW_US=30000000 SPARK_GRAFT_SF_DIR="$1" \
+    tools/run.sh graft.Bench 2>/dev/null | tail -1
+  if [ ! -s bench_last.json ]; then
+    echo "FATAL: $1 bench did not produce bench_last.json" >&2
+    exit 1
+  fi
+  cp bench_last.json "$2"
+}
+
+echo "== verify sf0.3 (3s window) =="; verify3 sf0.3
+echo "== verify sf3 (3s window) ==";   verify3 sf3
+
+echo "== bench sf0.1 =="; bench30 /root/testdata/sf0.1  bench_sf0.1_knobbed.json
+echo "== bench sf0.3 =="; bench30 /root/repo/data/sf0.3 bench_sf0.3.json
+echo "== bench sf1 ==";   bench30 /root/repo/data/sf1   bench_sf1.json
+echo "== bench sf3 ==";   bench30 /root/repo/data/sf3   bench_sf3.json
+echo "== bench sf10 ==";  bench30 /root/repo/data/sf10  bench_sf10.json
+
+git checkout bench_last.json
+
+python3 tools/scaling_fit.py sf0.1=bench_sf0.1_knobbed.json \
+  sf0.3=bench_sf0.3.json sf1=bench_sf1.json sf3=bench_sf3.json \
+  sf10=bench_sf10.json | tee scaling_fit_r8.md
+echo MULTIPOINT_DONE
