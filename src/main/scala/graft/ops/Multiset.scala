@@ -63,4 +63,21 @@ object Multiset {
       .select(keys.map(col) :+
         least(col("a_n"), col("b_n")).as("n"): _*)
       .filter(col("n") > 0)
+
+  /** Both cardinalities from ONE count pass: (keys*, op, n) with op ∈
+    * {except_all, intersect_all}. Unioning [[exceptAllCounts]] and
+    * [[intersectAllCounts]] plans the scans and count aggregations
+    * TWICE (exchange reuse may or may not collapse them at runtime);
+    * here the shared key-count join is computed once and the two
+    * derived cardinalities leave it as a 2-row `stack` per key —
+    * deterministic single-pass shape, no reliance on the reuse
+    * optimizer. */
+  def setOpCounts(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame =
+    keyCounts(a, b, keys)
+      .select(keys.map(col) :+ expr(
+        """stack(2,
+             'except_all', greatest(a_n - b_n, 0L),
+             'intersect_all', least(a_n, b_n)) AS (op, n)"""): _*)
+      .filter(col("n") > 0)
 }

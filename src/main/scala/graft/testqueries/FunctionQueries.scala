@@ -123,11 +123,9 @@ object FunctionQueries {
         val a = lineitem(s, d).select(col("l_returnflag").as("f"))
         val b = lineitem(s, d).filter(col("l_linestatus") === "O")
           .select(col("l_returnflag").as("f"))
-        graft.ops.Multiset.exceptAllCounts(a, b, Seq("f"))
-          .withColumn("op", lit("except_all"))
-          .unionByName(
-            graft.ops.Multiset.intersectAllCounts(a, b, Seq("f"))
-              .withColumn("op", lit("intersect_all")))
+        // one count pass for both ops: the unioned except/intersect
+        // form plans the lineitem scans + count aggs twice
+        graft.ops.Multiset.setOpCounts(a, b, Seq("f"))
           .orderBy("op", "f")
       },
       Some("""WITH a AS (SELECT l_returnflag AS f FROM lineitem),

@@ -735,5 +735,19 @@ class OpsSpec extends SparkSpec {
     val plan = graft.ops.Multiset.exceptAllCounts(a, b, Seq("f"))
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("replicaterows"), plan)
+    // single-pass form: same multiset cardinalities for BOTH ops out
+    // of one key-count join (the q45 shape)
+    val both = graft.ops.Multiset.setOpCounts(a, b, Seq("f")).collect()
+      .map(r => (r.getString(1), Option(r.getString(0)), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val want = (wantEx.map(t => ("except_all", t._1, t._2)) ++
+      wantIn.map(t => ("intersect_all", t._1, t._2)))
+      .sortBy(t => (t._1, t._2))
+    assert(both.toSeq == want.toSeq, s"setOpCounts: ${both.toSeq}")
+    // exactly ONE lineage of each input: the scans/aggregations appear
+    // once in the single-pass plan (vs twice in the unioned form)
+    val onePass = graft.ops.Multiset.setOpCounts(a, b, Seq("f"))
+      .queryExecution.optimizedPlan.toString
+    assert("LocalRelation".r.findAllIn(onePass).size == 2, onePass)
   }
 }
