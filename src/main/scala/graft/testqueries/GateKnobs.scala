@@ -44,8 +44,10 @@ object GateKnobs {
   /** q23 Jaccard threshold. Default 0.3. At sf10 the replicated
     * corpus + the df-cap leave NO pair at ≥0.3 — the gate row was
     * green but VACUOUS (0 rows on both engines proves nothing about
-    * the intersection/threshold logic). Gate scripts lower it at the
-    * extreme scale so the sf10 row exercises real pairs; candidate
+    * the intersection/threshold logic). Gate scripts move it (with the
+    * df-cap) at the extreme scale so the sf10 row exercises real pairs
+    * — 0.9 keeps the pair count bounded once the raised cap re-admits
+    * the replicated shingles; candidate
     * generation (and so oracle cost) is bounded by the df-cap either
     * way — the knob only moves the final filter. */
   val jaccardThreshold: Double =
