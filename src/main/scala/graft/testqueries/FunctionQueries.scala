@@ -399,6 +399,50 @@ object FunctionQueries {
             WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
           AND NOT EXISTS (SELECT 1 FROM lineitem l
             WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity < 2)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // Multiset diff at HIGH key cardinality: q45 proves the count-
+    // arithmetic set ops on a 3-value key (the ReplicateRows-hazard
+    // case); this proves them where the key is l_orderkey — 15M
+    // distinct keys at sf10 — so the key-count join itself runs at
+    // data scale, plus a NULL-bearing second key exercising the
+    // null-safe (<=>) join condition (set ops group NULL keys as
+    // equal; a plain equi-join would split them). The consumer rolls
+    // the per-key multiplicities into a (op, m, n) histogram with a
+    // sum-of-keys checksum, so any per-key miscount or misassigned
+    // multiplicity moves sum_k. The oracle computes the SEMANTIC
+    // definition (EXCEPT ALL / INTERSECT ALL, then count per key) —
+    // the equivalence of the two forms is what the hash match proves.
+    // m is coalesced to -1 only in the OUTPUT (NULL flows through the
+    // multiset op) because engines disagree on NULL sort order.
+    QueryDef("q110_multiset_key_diff",
+      (s, d) => {
+        val li = lineitem(s, d)
+        def side(f: org.apache.spark.sql.Column) = li.filter(f)
+          .select(col("l_orderkey").as("k"),
+            expr("nullif(l_linenumber % 3, 2)").as("m"))
+        val a = side(col("l_linenumber") <= 4)
+        val b = side(col("l_linenumber") >= 2)
+        graft.ops.Multiset.setOpCounts(a, b, Seq("k", "m"))
+          .groupBy(col("op"), coalesce(col("m"), lit(-1)).as("m"),
+            col("n"))
+          .agg(count(lit(1)).as("n_keys"), sum("k").as("sum_k"))
+          .orderBy("op", "m", "n")
+      },
+      Some("""WITH a AS (SELECT l_orderkey AS k,
+            nullif(l_linenumber % 3, 2) AS m
+          FROM lineitem WHERE l_linenumber <= 4),
+        b AS (SELECT l_orderkey AS k,
+            nullif(l_linenumber % 3, 2) AS m
+          FROM lineitem WHERE l_linenumber >= 2),
+        ex AS (SELECT k, m, COUNT(*) AS n FROM
+          (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY k, m),
+        ia AS (SELECT k, m, COUNT(*) AS n FROM
+          (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY k, m)
+      SELECT op, coalesce(m, -1) AS m, n,
+          COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM (SELECT 'except_all' AS op, * FROM ex
+              UNION ALL SELECT 'intersect_all' AS op, * FROM ia)
+        GROUP BY op, m, n ORDER BY op, m, n"""))
   )
 }
