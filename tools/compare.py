@@ -148,6 +148,14 @@ def _compare_one(con, out_dir, name, sql):
 
 def run_one(sf_dir, out_dir, name):
     """--one mode: exit 0 = match, 2 = mismatch, 1 = error."""
+    # Warm the numpy/pandas import BEFORE the oracle runs: fetchdf()
+    # imports them lazily, and a giant oracle (q09's non-spillable
+    # nested list() aggs) can leave the allocator so starved that
+    # numpy's C-extension import fails mid-fetch — surfacing as the
+    # misleading "you should not try to import numpy from its source
+    # directory" ImportError (observed at sf3, round 8). Importing up
+    # front costs ~200 ms while memory is plentiful.
+    import numpy, pandas  # noqa: F401
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     try:
         ok = compare_one(connect(sf_dir), out_dir, name, oracle[name])
