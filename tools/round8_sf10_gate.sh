@@ -32,20 +32,30 @@ if [ ! -d /tmp/verify_sf10/oracle_sql.json ] || [ "${GRAFT_SF10_REVERIFY:-1}" = 
     > /tmp/verify_sf10.log 2>&1
 fi
 
+# Round-8-changed queries compare FIRST (q45 multiset rewrite, q97
+# canonicalText Zs map + content_free, q23 knobbed threshold/df-cap,
+# q110 new): if the session is cut mid-gate, the rows that gate this
+# round's diffs are already in the artifact.
+CHANGED=q110_multiset_key_diff,q45_set_ops_all,q97_normalized_dedup,q23_ngram_jaccard
 ONLY=$(python3 - <<'PY'
 import json
 names = sorted(json.load(open('/tmp/verify_sf10/oracle_sql.json')))
 skip = {'q09_behavioral_clustering', 'q74_semantic_dedup',
-        'q89_pagerank'}
+        'q89_pagerank', 'q110_multiset_key_diff', 'q45_set_ops_all',
+        'q97_normalized_dedup', 'q23_ngram_jaccard'}
 print(','.join(n for n in names if n not in skip))
 PY
 )
-echo "comparing: $(echo "$ONLY" | tr ',' '\n' | wc -l) queries + 4 replay-path"
+echo "comparing: 4 changed-first + $(echo "$ONLY" | tr ',' '\n' | wc -l) queries + 4 replay-path"
 { echo "# gate sf10 copies=100 range_window_us=300000 emb_mod=${GRAFT_GATE_EMB_MOD} jaccard_maxdf=${GRAFT_GATE_JACCARD_MAXDF} jaccard_t=${GRAFT_GATE_JACCARD_T} replays=q65,q89,q74,q09 $(date -u +%FT%TZ)";
   # `|| true`: compare exits non-zero when ANY row is bad (e.g. the
   # expected q65 one-shot-closure timeout), and this brace group is a
   # set -e subshell — without it one ERR row silently skips every
   # special-path replay below while tee's exit 0 masks the abort.
+  GRAFT_COMPARE_ONLY="$CHANGED" \
+  GRAFT_COMPARE_SUBPROC=1 GRAFT_COMPARE_TIMEOUT_S=1800 \
+    python3 tools/compare.py /root/repo/data/sf10 /tmp/verify_sf10 \
+    || true;
   GRAFT_COMPARE_ONLY="$ONLY" \
   GRAFT_COMPARE_SUBPROC=1 GRAFT_COMPARE_TIMEOUT_S=1800 \
     python3 tools/compare.py /root/repo/data/sf10 /tmp/verify_sf10 \
