@@ -148,12 +148,16 @@ object Bench {
     }
     val core =
       s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt",$knobs,"queries":$qjson,"q58_gate_s":$gateS,"maint_gate_s":$maintS,"errors":$errJson,"sf":"$sfDir""""
-    // stdout gets ONLY the compact core as the process's final line:
-    // the driver captures a bounded stdout TAIL, and inlining the sf1
-    // artifact here grew the line past that window two rounds running
-    // (BENCH_r06/r07 "parsed": null). The inlined-sf1 full form still
-    // exists — in bench_last.json, which has no length constraint.
-    val compact = core + "}"
+    // stdout gets a MINIMAL final line: totals + error count + the top-5
+    // slowest queries + the artifact path. The driver captures a bounded
+    // stdout tail, and even the "compact" form with all 110 per-query
+    // entries (~3 KB) overflowed it THREE rounds running (BENCH_r06/07/08
+    // "parsed": null — the tail started mid-JSON). Per-query data lives
+    // in bench_last.json, which has no length constraint.
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"queries":$top5,"artifact":"bench_last.json"}"""
     val full = core + sf1Json + "}"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_last.json").toAbsolutePath,

@@ -88,6 +88,32 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
       .withColumn("content_free", col("content_hash") === md5(lit("")))
 
+  /** Per-document curation decision, consuming [[normalizedExact]]'s
+    * `content_free` flag downstream: the kept doc of each
+    * non-content-free class is `keep`, its other members `drop_dup`,
+    * and EVERY member of the content-free class (canonical form empty —
+    * pure punctuation/emoji) is `drop_content_free`, keep_id included:
+    * symbol-only docs carry no trainable content, so the class is
+    * dropped whole rather than represented by one survivor.
+    *
+    * Cost shape: the [[normalizedExact]] aggregation shuffle plus one
+    * shuffle join back to the corpus on the SAME key (content_hash) —
+    * co-partitioned exchanges, no re-keying. The class table is
+    * distinct-classes-sized (≪ corpus at any real dup rate) but grows
+    * WITH the corpus, so this stays a shuffle join by design, never a
+    * collect or a forced broadcast (AQE may still pick broadcast when
+    * the class side measures small at runtime — correct both ways). */
+  def curate(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val classes = normalizedExact(docs, idCol, textCol)
+    docs.withColumn("content_hash", md5(canonicalText(col(textCol))))
+      .join(classes, "content_hash")
+      .withColumn("decision",
+        when(col("content_free"), lit("drop_content_free"))
+          .when(col(idCol) === col("keep_id"), lit("keep"))
+          .otherwise(lit("drop_dup")))
+  }
+
   /** Word-n-gram shingle stream (id, s), duplicates included. Built
     * from arrays_zip of shifted slices + explode — no lambda
     * higher-order functions, which are evaluated interpreted and

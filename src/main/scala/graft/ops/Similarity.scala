@@ -208,7 +208,7 @@ object Similarity {
     *
     * Why mass, not cell count: a fixed probe=1 is exactly where the
     * measured recall floor lives on clustered data (0.718–0.754 at
-    * 1/16 scan, `data/ann_sf1.txt`) — queries that land between
+    * 1/16 scan, `ann_recall_r8.txt`) — queries that land between
     * clusters, and skewed cell masses where the nearest cell holds 2%
     * of the corpus, both starve the candidate set while "1 cell"
     * sounds like a fixed budget. Mass coverage is the quantity the

@@ -1,7 +1,7 @@
 package graft.testqueries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Sampling, TextAnalysis}
+import graft.ops.{Dedup, Sampling, TextAnalysis}
 
 /** Training-data pipeline operators, batch 2 — exact substring dedup
   * (Lee et al. 2022), CCNet-style unigram LM quality scoring, BM25
@@ -144,5 +144,36 @@ object TrainingDataQueries {
         WHERE ('0x' || substr(md5('w86:' || CAST(doc_id AS VARCHAR)),
             1, 15))::BIGINT % 1000
           < least(999, n_chars * 2)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // Curation keep/drop decisions CONSUMING q97's content_free flag:
+    // every doc gets keep / drop_dup / drop_content_free (symbol-only
+    // classes are dropped whole — no survivor), rolled up per source.
+    // One agg shuffle + one join back on the SAME key (content_hash);
+    // the canonical-text definition is shared with q97 verbatim.
+    QueryDef("q111_curation_decisions",
+      (s, d) => QueryDef.sortedP(
+        Dedup.curate(documents(s, d), "doc_id", "text")
+          .groupBy(col("source"), col("decision"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars")),
+        col("source"), col("decision")),
+      Some("""WITH c AS (SELECT doc_id, source, n_chars,
+          md5(trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(text),
+                '[\p{Zs}\x{2028}\x{2029}\x{0085}]', ' ', 'g'),
+              '[^\p{L}\p{N}\s]', '', 'g'),
+            '\s+', ' ', 'g'))) AS content_hash
+        FROM documents),
+        cls AS (SELECT content_hash, MIN(doc_id) AS keep_id,
+            content_hash = md5('') AS content_free
+          FROM c GROUP BY content_hash)
+        SELECT source,
+          CASE WHEN content_free THEN 'drop_content_free'
+               WHEN doc_id = keep_id THEN 'keep'
+               ELSE 'drop_dup' END AS decision,
+          COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS chars
+        FROM c JOIN cls USING (content_hash)
+        GROUP BY source, decision ORDER BY source, decision""")))
 }

@@ -115,6 +115,21 @@ class IndexOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, true), (4L, 2L, false)))
   }
 
+  test("curate: keep/drop_dup/drop_content_free consume content_free") {
+    // The content-free class (1,2) is dropped WHOLE — even its
+    // keep_id gets no survivor; the real-content class keeps its min
+    // id and drops the rest; singletons are kept.
+    val docs = Seq(
+      (1L, "😀 🎉"), (2L, "!!! ???"),
+      (3L, "real words here"), (4L, "Real  WORDS, here!"),
+      (5L, "unique")).toDF("id", "text")
+    val got = Dedup.curate(docs, "id", "text")
+      .select("id", "decision").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "drop_content_free", 2L -> "drop_content_free",
+      3L -> "keep", 4L -> "drop_dup", 5L -> "keep"))
+  }
+
   test("canonicalText keeps non-Latin letters as content (DuckDB-" +
       "parity torture set, codepoint-exact)") {
     // Expected strings were computed in DuckDB with the mirrored SQL

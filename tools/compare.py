@@ -33,6 +33,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # at the driver's sf0.01 is ALL of them.
 FAST_ROWS = int(os.environ.get("GRAFT_COMPARE_FAST_ROWS", "100000"))
 
+# Known-heavy oracles that need a reduced thread count at scale: q09's
+# nested non-spillable list() aggregation OOMs a 32-thread DuckDB child
+# at sf>=3 (each thread owns its own aggregation buffers), but fits
+# comfortably single-threaded — a PROPERTY of the oracle, not a
+# discovery, so the gate runs it threads=1 up front instead of paying
+# an ERR-then-retry cycle (115 s wasted at sf3, 229 s at sf10) every
+# round. GRAFT_COMPARE_THREADS, when set, still wins globally.
+HEAVY_ORACLE_THREADS = {"q09_behavioral_clustering": "1"}
+HEAVY_ORACLE_MIN_SF = 3.0
+
+
+def parse_sf(sf_dir):
+    """Scale factor from a .../sfN[.M] path; 0 if unrecognizable."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.0
+
 
 def norm_cell(v):
     if isinstance(v, float):
@@ -182,9 +203,17 @@ def main(sf_dir, out_dir):
     # counts as bad, never as silent skip.
     poisoned = os.environ.get("GRAFT_COMPARE_SUBPROC") == "1"
     timeout_s = float(os.environ.get("GRAFT_COMPARE_TIMEOUT_S", "0")) or None
+    # Heavy-oracle routing (see HEAVY_ORACLE_THREADS): at sf>=3 those
+    # queries go straight to a fresh reduced-thread child, never through
+    # the shared in-process connection (whose thread count is fixed at
+    # connect time) and never through a doomed 32-thread first attempt.
+    heavy_sf = parse_sf(sf_dir) >= HEAVY_ORACLE_MIN_SF
+    threads_global = os.environ.get("GRAFT_COMPARE_THREADS")
     con = None if poisoned else connect(sf_dir)
     for name, sql in sorted(oracle.items()):
-        if not poisoned:
+        heavy = (heavy_sf and not threads_global
+                 and name in HEAVY_ORACLE_THREADS)
+        if not poisoned and not heavy:
             try:
                 if compare_one(con, out_dir, name, sql):
                     ok += 1
@@ -208,9 +237,15 @@ def main(sf_dir, out_dir):
                 except Exception:
                     pass
         try:
+            env = dict(os.environ)
+            if heavy:
+                env["GRAFT_COMPARE_THREADS"] = HEAVY_ORACLE_THREADS[name]
+                print(f"     ({name}: known-heavy oracle at sf>=3 — "
+                      f"fresh threads={env['GRAFT_COMPARE_THREADS']} child)")
+                sys.stdout.flush()
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one",
-                 sf_dir, out_dir, name], timeout=timeout_s)
+                 sf_dir, out_dir, name], timeout=timeout_s, env=env)
             rc = r.returncode
         except subprocess.TimeoutExpired:
             print(f"ERR  {name}: oracle timeout after {timeout_s:.0f}s "

@@ -71,7 +71,11 @@ echo "== bench sf1 ==";   bench30 /root/repo/data/sf1   bench_sf1.json
 echo "== bench sf3 ==";   bench30 /root/repo/data/sf3   bench_sf3.json
 echo "== bench sf10 ==";  bench30 /root/repo/data/sf10  bench_sf10.json
 
-git checkout bench_last.json
+# bench_last.json is scratch output (graft.Bench rewrites it every run);
+# restore the committed snapshot if one exists, else just drop it — a bare
+# `git checkout` on an untracked path fails and, under set -eo pipefail,
+# aborted the round-8 run here before scaling_fit ever ran (ADVICE r8).
+git checkout -- bench_last.json 2>/dev/null || rm -f bench_last.json
 
 python3 tools/scaling_fit.py sf0.1=bench_sf0.1_knobbed.json \
   sf0.3=bench_sf0.3.json sf1=bench_sf1.json sf3=bench_sf3.json \
