@@ -350,7 +350,19 @@ object FunctionQueries {
         val w = documents(s, d)
           .select(col("doc_id"), explode(Fns.words(col("text"))).as("w"))
         val tf = w.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df = w.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+        // df DERIVED FROM tf (one row per distinct (doc_id, w) already),
+        // not from a second `w.distinct().groupBy` pass: both join
+        // branches now share the identical (doc_id, w) aggregation
+        // subtree, so Catalyst's ReuseExchange collapses them to ONE
+        // scan + explode + shuffle (the old form's distinct-then-agg
+        // branch differed and re-ran the corpus scan). The count
+        // deliberately references tf (always >= 1, so it IS the row
+        // count): a bare count(1) lets column pruning drop the tf
+        // aggregate from this branch's copy of the subtree, the
+        // subtrees stop being identical, and reuse is lost — verified
+        // both ways with Explain.
+        val df = tf.groupBy("w")
+          .agg(count(when(col("tf") >= 1, 1)).as("df"))
         tf.join(df, "w")
           .crossJoin(broadcast(
             documents(s, d).agg(count(lit(1)).as("n"))))
