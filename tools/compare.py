@@ -39,8 +39,13 @@ FAST_ROWS = int(os.environ.get("GRAFT_COMPARE_FAST_ROWS", "100000"))
 # comfortably single-threaded — a PROPERTY of the oracle, not a
 # discovery, so the gate runs it threads=1 up front instead of paying
 # an ERR-then-retry cycle (115 s wasted at sf3, 229 s at sf10) every
-# round. GRAFT_COMPARE_THREADS, when set, still wins globally.
-HEAVY_ORACLE_THREADS = {"q09_behavioral_clustering": "1"}
+# round. q50's oracle (list-agg signatures over 15M (suppkey, orderkey)
+# groups) is the same family one notch lighter: at sf10 a 32-thread
+# child thrashed past a 1800 s timeout while threads=8 finished in
+# 124.5 s (round-9 gate). GRAFT_COMPARE_THREADS, when set, still wins
+# globally.
+HEAVY_ORACLE_THREADS = {"q09_behavioral_clustering": "1",
+                        "q50_consensus_verdicts": "8"}
 HEAVY_ORACLE_MIN_SF = 3.0
 
 

@@ -76,10 +76,18 @@ echo "comparing: 5 changed-first + $(echo "$ONLY" | tr ',' '\n' | wc -l) queries
 # M bad ==" lines above each cover only their own GRAFT_COMPARE_ONLY
 # slice; this one counts every query row in the final artifact.
 python3 - <<'PY' | tee -a correctness_sf10.txt
-ok = bad = 0
+# Per-QUERY tally, last verdict wins (a re-run OK supersedes its ERR);
+# the q65 replay emits Q65_SF10_OK rather than an "OK   q65..." line.
+import re
+verdict = {}
 for line in open('correctness_sf10.txt'):
-    if line.startswith('OK   '): ok += 1
-    elif line.startswith(('FAIL ', 'ERR  ')): bad += 1
-print(f"== artifact tally: {ok} ok, {bad} bad ==")
+    m = re.match(r'(OK   |FAIL |ERR  )(q\w+)', line)
+    if m:
+        verdict[m.group(2)] = m.group(1).strip()
+    elif line.startswith('Q65_SF10_OK'):
+        verdict['q65_neardup_groups'] = 'OK'
+ok = sum(1 for v in verdict.values() if v == 'OK')
+bad = len(verdict) - ok
+print(f"== artifact tally: {ok} queries ok, {bad} bad ==")
 PY
 echo SF10_GATE_DONE
