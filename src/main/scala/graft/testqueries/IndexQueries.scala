@@ -39,6 +39,10 @@ object IndexQueries {
   /** q98 salt fan-out. */
   private val Salts = 16
 
+  /** q112 join salt fan-out: the probe side's hot keys spread over
+    * this many reducers; the dim side replicates this many times. */
+  private val JoinSalts = 8
+
   /** q99 tokenizer: a fixed published merge list (the inference-side
     * contract — you apply a vocabulary, you don't relearn it per
     * corpus), chosen so every merge fires on the synthetic vocabulary
@@ -262,6 +266,35 @@ object IndexQueries {
         n AS (SELECT COUNT(*)::BIGINT AS n_nodes FROM
           (SELECT a FROM p UNION SELECT b FROM p)),
         e AS (SELECT COUNT(*)::BIGINT AS n_edges FROM p)
-        SELECT n_nodes, n_edges, n_triangles FROM n, e, t"""))
+        SELECT n_nodes, n_edges, n_triangles FROM n, e, t""")),
+
+    // Salted skew JOIN (the join counterpart of q98's salted agg):
+    // lineitem ⋈ part on partkey with the probe side salted 8 ways and
+    // the build side replicated 8×, then the per-size rollup. The
+    // oracle computes the PLAIN join + GROUP BY — the hash match proves
+    // the salting is invisible to semantics (counts are integers, sums
+    // stay DECIMAL through the agg, so re-association cannot move
+    // them). Why it exists at 100 TB: AQE's skew split only rescues
+    // sort-merge joins, and a hot key inside a shuffled hash join still
+    // lands one reducer; salting bounds every reducer's share at 1/8 of
+    // the hot key BEFORE the exchange. The replicated side here is
+    // dim-sized (part), the case the scaladoc carves out: too big to
+    // broadcast comfortably at cluster scale, small enough to
+    // replicate saltFactor ways.
+    QueryDef("q112_salted_join",
+      (s, d) => Skew.saltedJoin(
+          lineitem(s, d).select(col("l_partkey"), col("l_quantity")),
+          part(s, d).select(col("p_partkey").as("l_partkey"),
+            col("p_size")),
+          Seq("l_partkey"), JoinSalts)
+        .groupBy("p_size")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(28,2)"))
+            .cast("double").as("s"))
+        .orderBy("p_size"),
+      Some("""SELECT p_size, COUNT(*)::BIGINT AS n,
+          SUM(CAST(l_quantity AS DECIMAL(28,2)))::DOUBLE AS s
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_size ORDER BY p_size"""))
   )
 }
