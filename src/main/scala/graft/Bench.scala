@@ -15,6 +15,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE can only coalesce partitions DOWN: with initialPartitionNum
+      // unset every exchange is pinned to shuffle.partitions (=cores)
+      // partitions, so partition VOLUME grows linearly with the data.
+      // Over-partitioning 8x and letting AQE coalesce to its 64MB
+      // advisory size makes partition SIZE the bounded quantity at
+      // every scale. Measured (tools/PartsProbe, same-JVM interleaved
+      // A/B on the four heaviest sf10 queries): quiet-host min is
+      // NEUTRAL (0.94-1.04x — the r8 sf3->sf10 "knee" was mostly host
+      // load billed to the bench, q50's quiet min is ~43s under either
+      // setting, not the 77s bench row), but under concurrent load the
+      // medians drop hard (q22 69.9->44.1s, q50 50.8->45.9s): smaller
+      // partitions cut straggler exposure, which is also the
+      // multi-executor argument. SQLConf.numShufflePartitions returns
+      // this value whenever AQE+coalesce are on, so user
+      // repartition(col) exchanges get it too.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
+          (8 * cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       // collect_list-family aggregations (ObjectHashAggregate) fall back
       // to sort-based aggregation after 128 distinct keys per partition

@@ -43,6 +43,17 @@ object GraftSession {
     base(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      // Over-partition 8x and let AQE coalesce to its advisory size:
+      // without this, AQE can only merge partitions DOWN from
+      // shufflePartitions, so partition VOLUME grows linearly with the
+      // data. A/B'd in tools/PartsProbe (sf10, four heaviest queries):
+      // quiet-host min neutral (0.94-1.04x), but medians under
+      // concurrent load drop hard (q22 69.9->44.1s) — size-bounded
+      // partitions cut straggler exposure, the property that matters
+      // on a shared cluster. Small inputs coalesce back to few
+      // partitions, so the fan-out costs nothing at interactive sizes.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        8 * shufflePartitions)
       .getOrCreate()
 
   def interactive(master: String = "local[*]"): SparkSession =

@@ -10,6 +10,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Same AQE over-partitioning as Bench/GraftSession.batch: bound
+      // partition SIZE, not count — the gate host runs compare/replay
+      // children concurrently, exactly the load regime where the A/B
+      // showed the win (see Bench.scala for the measured numbers).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
+          (8 * cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       // collect_list-family aggregations (ObjectHashAggregate) fall back
       // to sort-based aggregation after 128 distinct keys per partition

@@ -37,12 +37,12 @@ if [ ! -f /tmp/verify_sf10/oracle_sql.json ] || [ "${GRAFT_SF10_REVERIFY:-1}" = 
     > /tmp/verify_sf10.log 2>&1
 fi
 
-CHANGED=q111_curation_decisions,q110_multiset_key_diff,q45_set_ops_all,q97_normalized_dedup,q23_ngram_jaccard
+CHANGED=q112_salted_join,q111_curation_decisions,q110_multiset_key_diff,q45_set_ops_all,q97_normalized_dedup,q23_ngram_jaccard
 ONLY=$(python3 - <<'PY'
 import json
 names = sorted(json.load(open('/tmp/verify_sf10/oracle_sql.json')))
 skip = {'q09_behavioral_clustering', 'q74_semantic_dedup',
-        'q89_pagerank', 'q65_neardup_groups',
+        'q89_pagerank', 'q65_neardup_groups', 'q112_salted_join',
         'q111_curation_decisions', 'q110_multiset_key_diff',
         'q45_set_ops_all', 'q97_normalized_dedup', 'q23_ngram_jaccard'}
 print(','.join(n for n in names if n not in skip))
