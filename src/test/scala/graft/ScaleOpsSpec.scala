@@ -19,6 +19,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("salted join: duplicate dim keys, null keys, and hot-key spread") {
+    // duplicate keys on the REPLICATED side: each dup must match every
+    // probe row exactly once per dup (replication cannot double-count)
+    val large = (1 to 300).map(i =>
+      (if (i % 3 == 0) "hot" else s"k$i", i)).toDF("k", "v")
+    val dimDup = Seq(("hot", "H1"), ("hot", "H2"), ("k1", "A"))
+      .toDF("k", "tag")
+    val salted = Skew.saltedJoin(large, dimDup, Seq("k"), 4)
+      .orderBy("k", "v", "tag").collect()
+    val plain = large.join(dimDup, "k").orderBy("k", "v", "tag").collect()
+    assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+
+    // null join keys: inner-join semantics drop them on both forms
+    val largeN = Seq((null.asInstanceOf[String], 1), ("a", 2))
+      .toDF("k", "v")
+    val dimN = Seq(("a", "A"), (null.asInstanceOf[String], "N"))
+      .toDF("k", "tag")
+    val saltedN = Skew.saltedJoin(largeN, dimN, Seq("k"), 4).collect()
+    assert(saltedN.map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSeq == Seq(("a", 2, "A")))
+
+    // the salt actually SPREADS a hot key: with 100 distinct rows under
+    // one key and saltFactor 8, the per-row hash must hit >1 bucket
+    // (this is the whole point — a constant salt would be a no-op)
+    val hot = (1 to 100).map(i => ("hot", i)).toDF("k", "v")
+    val buckets = hot.withColumn("salt",
+        pmod(xxhash64(col("k"), col("v")), lit(8)))
+      .select("salt").distinct().count()
+    assert(buckets > 4, s"hot key spread over only $buckets/8 buckets")
+  }
+
   test("key histogram surfaces heavy keys") {
     val df = (1 to 100).map(i => if (i <= 60) "hot" else s"k$i")
       .toDF("k")
