@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures `sbt runMain graft.Bench` stdout and parses
+// the LAST line as the bench JSON. sbt's default LoggedOutput strategy
+// re-prefixes the forked JVM's stdout with "[info] " and merges its
+// stderr (Spark's log4j console) into stdout as "[error] " lines, then
+// appends its own "[success] Total time..." — three separate ways the
+// JSON line stops being the bare last stdout line (BENCH_r06-r09
+// "parsed": null). StdoutOutput lets the forked process inherit sbt's
+// real stdout/stderr: app stdout stays bare, Spark logs stay on stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and no "[success]" trailer after the app's final JSON line.
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by settings/tasks —
+// lintUnused can't see that, so exclude it from the check.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -12,6 +12,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Parsed once with a clear error: "local[*]"-style values are not
+    // usable here because the AQE initialPartitionNum default below
+    // needs a concrete core count.
+    val nCpus = try cpus.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CPUS must be an integer core count, got '$cpus'")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,9 +37,19 @@ object Bench {
       // multi-executor argument. SQLConf.numShufflePartitions returns
       // this value whenever AQE+coalesce are on, so user
       // repartition(col) exchanges get it too.
+      //
+      // Gated on input size since round 10: on small inputs the fan-out
+      // never materializes a size win (everything coalesces straight
+      // back down) but still pays per-exchange scheduling overhead —
+      // the shipped-ungated knob cost +2.7% on the 17 MB sf0.1 suite
+      // (r8→r9 A/B in SCALE.md). ≥1 GiB keeps it for the scale regime
+      // the knob was built for. SPARK_GRAFT_INIT_PARTS pins it either
+      // way for knob-identical cross-scale bench points.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
-          (8 * cpus.toInt).toString))
+          if (GraftSession.inputBytes(sfDir) >= GraftSession.overPartitionBytes)
+            (8 * nCpus).toString
+          else cpus))
       .config("spark.sql.session.timeZone", "UTC")
       // collect_list-family aggregations (ObjectHashAggregate) fall back
       // to sort-based aggregation after 128 distinct keys per partition
@@ -181,7 +198,12 @@ object Bench {
       java.nio.file.Paths.get("bench_last.json").toAbsolutePath,
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout still gets the compact
-    println(compact)
+    // Stop FIRST, print LAST: the driver parses the final stdout line as
+    // JSON, and spark.stop() can emit shutdown chatter. Combined with
+    // build.sbt's StdoutOutput strategy (no [info]/[success] wrapping)
+    // this makes the compact JSON the literal last line of the run.
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

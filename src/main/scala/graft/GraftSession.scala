@@ -29,6 +29,32 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Sum of regular-file sizes under `dir` — the input-size estimate that
+    * gates the AQE over-partitioning knob. Below [[overPartitionBytes]]
+    * the 8× fan-out buys nothing (everything coalesces back down) but
+    * still pays scheduler/fetch overhead per exchange — measured +2.7%
+    * on the 17 MB sf0.1 suite when the knob shipped ungated in round 9.
+    */
+  def inputBytes(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => java.nio.file.Files.isRegularFile(p))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally s.close()
+    }
+  }
+
+  /** Scan-size threshold above which over-partitioning pays for itself:
+    * at ≥1 GiB input a single exchange's partitions outgrow AQE's 64 MB
+    * advisory target at cores-count partitioning, which is exactly when
+    * size-bounded partitions start cutting straggler exposure (the
+    * PartsProbe A/B evidence in Bench.scala). Below it the knob is pure
+    * fan-out overhead on data that fits one advisory partition per core.
+    */
+  val overPartitionBytes: Long = 1L << 30
+
   private def base(master: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)

@@ -7,6 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Concrete core count required (the initialPartitionNum default
+    // multiplies it); fail fast on "local[*]"-style values.
+    val nCpus = try cpus.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CPUS must be an integer core count, got '$cpus'")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,9 +20,13 @@ object Verify {
       // partition SIZE, not count — the gate host runs compare/replay
       // children concurrently, exactly the load regime where the A/B
       // showed the win (see Bench.scala for the measured numbers).
+      // Size-gated since round 10 (see Bench.scala): over-partitioning
+      // only pays once partitions would outgrow AQE's advisory size.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
-          (8 * cpus.toInt).toString))
+          if (GraftSession.inputBytes(sfDir) >= GraftSession.overPartitionBytes)
+            (8 * nCpus).toString
+          else cpus))
       .config("spark.sql.session.timeZone", "UTC")
       // collect_list-family aggregations (ObjectHashAggregate) fall back
       // to sort-based aggregation after 128 distinct keys per partition

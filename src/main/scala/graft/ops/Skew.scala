@@ -19,6 +19,13 @@ object Skew {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int): DataFrame = {
+    // saltFactor=0 would not fail: pmod(x, 0) is null and
+    // sequence(0, -1) is [0, -1], so the join silently returns 0 rows.
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    // withColumn REPLACES by name — a pre-existing __salt column on
+    // either input would silently join on the wrong thing.
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already have a __salt column")
     val saltL = pmod(
       xxhash64(large.columns.toIndexedSeq.map(large(_)): _*),
       lit(saltFactor))

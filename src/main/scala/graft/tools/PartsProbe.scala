@@ -67,8 +67,13 @@ object PartsProbe {
     }
     qs.foreach { q =>
       val (av, bv) = (a(q.name), b(q.name))
-      def stats(xs: List[Double]) =
-        f"min=${xs.min}%.2f med=${xs.sorted.apply(xs.size / 2)}%.2f"
+      def stats(xs: List[Double]) = {
+        val s = xs.sorted
+        // true median for even rep counts (upper-element alone biases up)
+        val med = if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+        f"min=${xs.min}%.2f med=$med%.2f"
+      }
       println(f"PARTS_PROBE ${q.name} sf=$sfDir initN=$initN " +
         f"A[32] ${stats(av)}  B[$initN] ${stats(bv)}  " +
         f"ratio(minB/minA)=${bv.min / av.min}%.3f")

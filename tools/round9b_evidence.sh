@@ -35,8 +35,11 @@ gate () { # sfdir-name artifact-file
 }
 bench30 () { # sfdir outfile
   rm -f bench_last.json
+  # `|| true`: under set -eo pipefail a launcher failure would abort the
+  # function before the bench_last.json check below — the check is the
+  # failure path that reports (ADVICE r9).
   GRAFT_GATE_RANGE_WINDOW_US=30000000 SPARK_GRAFT_SF_DIR="$1" \
-    tools/run.sh graft.Bench 2>/dev/null | tail -1
+    tools/run.sh graft.Bench 2>/dev/null | tail -1 || true
   if [ ! -s bench_last.json ]; then
     echo "FATAL: $1 bench did not produce bench_last.json" >&2
     exit 1
