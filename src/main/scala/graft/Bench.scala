@@ -176,10 +176,16 @@ object Bench {
     // isolation would hide that its range queries ran parameterized.
     val knobs = {
       import graft.testqueries.GateKnobs
+      // init_parts rides along since the size gate (round 10): a
+      // cross-scale comparison is only knob-identical when this value
+      // matches, and the gated default now varies with input size.
+      val initParts = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
       s""""knobs":{"range_window_us":${GateKnobs.rangeWindowUs},""" +
         s""""emb_mod":${GateKnobs.embSampleMod},""" +
         s""""jaccard_t":${GateKnobs.jaccardThreshold},""" +
-        s""""jaccard_maxdf":${GateKnobs.jaccardMaxDf}}"""
+        s""""jaccard_maxdf":${GateKnobs.jaccardMaxDf},""" +
+        s""""init_parts":$initParts}"""
     }
     val core =
       s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt",$knobs,"queries":$qjson,"q58_gate_s":$gateS,"maint_gate_s":$maintS,"errors":$errJson,"sf":"$sfDir""""

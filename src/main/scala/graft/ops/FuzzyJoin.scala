@@ -45,6 +45,50 @@ object FuzzyJoin {
     * the (irreducible, output-sized) expansion joins growing. */
   def editDistanceJoin(rows: DataFrame, idCol: String, strCol: String,
       maxDist: Int, blockCols: Seq[String]): DataFrame = {
+    val (members, repPairs) =
+      candidateStringPairs(rows, idCol, strCol, maxDist, blockCols)
+    // Expansion (output-sized, the irreducible part):
+    // (a) cross-string pairs — every member of string A x every member
+    //     of string B, ids normalized to a_id < b_id;
+    // (b) intra-string pairs — C(g, 2) id pairs per duplicated string,
+    //     dist 0 (empty when strings are unique per block).
+    val ma = members.select(col("__rk").as("__rka"),
+      col(idCol).as("__ida"), col(strCol).as("a_val"))
+    val mb = members.select(col("__rk").as("__rkb"),
+      col(idCol).as("__idb"), col(strCol).as("b_val"))
+    val cross = repPairs
+      .join(ma, Seq("__rka", "a_val"))
+      .join(mb, Seq("__rkb", "b_val"))
+      .select(
+        least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"),
+        when(col("__ida") < col("__idb"), col("a_val"))
+          .otherwise(col("b_val")).as("a_val"),
+        when(col("__ida") < col("__idb"), col("b_val"))
+          .otherwise(col("a_val")).as("b_val"),
+        col("dist"))
+    val intra = members.as("x")
+      .join(members.as("y").hint("shuffle_hash"),
+        col("x.__rk") === col("y.__rk")
+          && col(s"x.$strCol") === col(s"y.$strCol")
+          && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        col(s"x.$strCol").as("a_val"), col(s"y.$strCol").as("b_val"),
+        lit(0).as("dist"))
+    cross.unionByName(intra)
+  }
+
+  /** Shared symmetric-delete core: `members` — one row per input id,
+    * keyed by `__rk` (64-bit hash of blocks+string, the fixed-width
+    * shuffle key naming a distinct (blocks, string) group) — and the
+    * DISTINCT-string candidate pairs `(__rka, __rkb, a_val, b_val,
+    * dist)` with `dist ≤ maxDist`. [[editDistanceJoin]] expands these
+    * to id pairs (output-sized); [[editDistanceMatchCounts]] aggregates
+    * them to per-id counts without materializing any id pair.
+    */
+  private def candidateStringPairs(rows: DataFrame, idCol: String,
+      strCol: String, maxDist: Int, blockCols: Seq[String])
+      : (DataFrame, DataFrame) = {
     require(maxDist >= 1 && maxDist <= 2,
       "symmetric-delete join supports maxDist 1..2; use " +
         "editDistanceJoinBlocked beyond that")
@@ -104,35 +148,52 @@ object FuzzyJoin {
       .distinct()
       .withColumn("dist", levenshtein(col("a_val"), col("b_val")))
       .filter(col("dist") <= maxDist)
-    // Expansion (output-sized, the irreducible part):
-    // (a) cross-string pairs — every member of string A x every member
-    //     of string B, ids normalized to a_id < b_id;
-    // (b) intra-string pairs — C(g, 2) id pairs per duplicated string,
-    //     dist 0 (empty when strings are unique per block).
-    val ma = members.select(col("__rk").as("__rka"),
-      col(idCol).as("__ida"), col(strCol).as("a_val"))
-    val mb = members.select(col("__rk").as("__rkb"),
-      col(idCol).as("__idb"), col(strCol).as("b_val"))
-    val cross = repPairs
-      .join(ma, Seq("__rka", "a_val"))
-      .join(mb, Seq("__rkb", "b_val"))
-      .select(
-        least(col("__ida"), col("__idb")).as("a_id"),
-        greatest(col("__ida"), col("__idb")).as("b_id"),
-        when(col("__ida") < col("__idb"), col("a_val"))
-          .otherwise(col("b_val")).as("a_val"),
-        when(col("__ida") < col("__idb"), col("b_val"))
-          .otherwise(col("a_val")).as("b_val"),
-        col("dist"))
-    val intra = members.as("x")
-      .join(members.as("y").hint("shuffle_hash"),
-        col("x.__rk") === col("y.__rk")
-          && col(s"x.$strCol") === col(s"y.$strCol")
-          && col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
-        col(s"x.$strCol").as("a_val"), col(s"y.$strCol").as("b_val"),
-        lit(0).as("dist"))
-    cross.unionByName(intra)
+    (members, repPairs)
+  }
+
+  /** Per-id fuzzy-match COUNT — [[editDistanceJoin]]'s aggregate
+    * consumer (the q109-for-q22 discipline applied to entity
+    * resolution): on a duplication-heavy corpus the id-pair list grows
+    * with duplication² (measured 7.5× for 3.3× data on the sf10
+    * replicated corpus) but the triage question a 100 TB user actually
+    * asks — "which records are heavily fuzzy-duplicated" — needs only
+    * per-id counts. Group sizes and matched-partner sums are computed
+    * at DISTINCT-string granularity:
+    * `matches(s) = (g(s) − 1) + Σ_{s' : lev(s,s') ≤ d} g(s')`
+    * and the only output-sized step is attaching each id's count —
+    * rows out = ids, never pairs. Equals
+    * `COUNT(*) OVER the editDistanceJoin pair list per id`
+    * (oracle-checked, q113).
+    *
+    * Grouping keys carry the string VALUE alongside `__rk` so a 64-bit
+    * hash collision between distinct groups cannot merge their counts
+    * (the same both-hash-and-value discipline as the join). Returns
+    * `(id, n_matches)`.
+    */
+  def editDistanceMatchCounts(rows: DataFrame, idCol: String,
+      strCol: String, maxDist: Int, blockCols: Seq[String]): DataFrame = {
+    val (members, repPairs) =
+      candidateStringPairs(rows, idCol, strCol, maxDist, blockCols)
+    val gcounts = members.groupBy(col("__rk"), col(strCol))
+      .agg(count(lit(1)).as("g"))
+    // partner mass flowing to each side of each distinct-string pair
+    val withG = repPairs
+      .join(gcounts.select(col("__rk").as("__rka"),
+        col(strCol).as("a_val"), col("g").as("ga")), Seq("__rka", "a_val"))
+      .join(gcounts.select(col("__rk").as("__rkb"),
+        col(strCol).as("b_val"), col("g").as("gb")), Seq("__rkb", "b_val"))
+    val crossMass = withG.select(col("__rka").as("__rk"),
+        col("a_val").as(strCol), col("gb").as("add"))
+      .unionByName(withG.select(col("__rkb").as("__rk"),
+        col("b_val").as(strCol), col("ga").as("add")))
+      .groupBy(col("__rk"), col(strCol))
+      .agg(sum(col("add")).as("cross"))
+    val partners = gcounts.join(crossMass, Seq("__rk", strCol), "left")
+      .select(col("__rk"), col(strCol),
+        (col("g") - 1 + coalesce(col("cross"), lit(0L)))
+          .as("n_matches"))
+    members.join(partners, Seq("__rk", strCol))
+      .select(col(idCol).as("id"), col("n_matches"))
   }
 
   /** Naive blocked pairwise form: exact within blocks at any `maxDist`,

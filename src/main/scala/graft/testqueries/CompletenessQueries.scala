@@ -35,6 +35,33 @@ object CompletenessQueries {
           AND levenshtein(x.c_name, y.c_name) <= 1
         ORDER BY a_id, b_id""")),
 
+    // q73's aggregate consumer (the q109-for-q22 discipline applied to
+    // entity resolution): per-id fuzzy-match COUNTS at distinct-string
+    // granularity — rows out = ids, never pairs, so the output stays
+    // corpus-sized while q73's pair list grows with duplication²
+    // (7.5× for 3.3× data at the sf10 point). The oracle counts
+    // directional partners from the enumerated pair list — affordable
+    // at oracle scale, which is exactly the point of the split.
+    QueryDef("q113_fuzzy_match_counts",
+      (s, d) => QueryDef.sortedP(
+        graft.ops.FuzzyJoin.editDistanceMatchCounts(customer(s, d),
+          "c_custkey", "c_name", maxDist = 1,
+          blockCols = Seq("c_mktsegment", "c_nationkey")),
+        col("id")),
+      Some("""WITH pairs AS (
+        SELECT x.c_custkey AS a_id, y.c_custkey AS b_id
+        FROM customer x JOIN customer y
+        ON x.c_mktsegment = y.c_mktsegment
+          AND x.c_nationkey = y.c_nationkey
+          AND x.c_custkey <> y.c_custkey
+          AND abs(length(x.c_name) - length(y.c_name)) <= 1
+          AND levenshtein(x.c_name, y.c_name) <= 1),
+      cnt AS (SELECT a_id AS id, COUNT(*) AS n FROM pairs GROUP BY a_id)
+      SELECT c.c_custkey AS id, CAST(COALESCE(cnt.n, 0) AS BIGINT)
+        AS n_matches
+      FROM customer c LEFT JOIN cnt ON c.c_custkey = cnt.id
+      ORDER BY id""")),
+
     // UNPIVOT / melt — the inverse of W1's pivot (wide measures →
     // (name, value) rows). Spark's native unpivot plans as Expand (a
     // narrow op: the early range partitioning on the id survives to the

@@ -63,6 +63,55 @@ object VectorEventQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // LSH-bucketed ANN top-k under the oracle gate (was the one
+    // spec-only ANN path): the sign-random-projection buckets are
+    // deterministic given the fixed md5-derived hyperplanes —
+    // Fns.portableHash60's DuckDB mirror replays each plane component
+    // exactly, so the oracle rebuilds the SAME buckets, joins within
+    // them, and ranks by in-bucket cosine. Ranking runs on UNROUNDED
+    // sims on both sides (near-equal sims of distinct vectors differ
+    // by ≫ FP-eval noise; bit-identical sims only arise from equal
+    // vectors, where the c_id tie-break decides identically); the
+    // projected sim is rounded to 6 dp for the hash compare, the q25
+    // discipline.
+    QueryDef("q114_lsh_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.ops.Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
+            "vec_id", "embedding", k = 5, planes = 8)
+          .select(col("q_id"), col("c_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+          .transform(QueryDef.sorted1(_, col("q_id"), col("rank")))
+      },
+      Some("""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      dots AS (
+        SELECT e.vec_id, t.p,
+          list_sum(list_transform(range(1, len(e.v) + 1),
+            i -> e.v[i] * ((('0x' || substr(md5('plane' || t.p || ':'
+              || (i - 1)), 1, 15))::BIGINT
+              / 576460752303423488.0) - 1.0))) AS dot
+        FROM e, range(0, 8) t(p)),
+      buck AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+            AS bucket
+        FROM dots GROUP BY vec_id),
+      be AS (SELECT e.vec_id, e.v, buck.bucket
+        FROM e JOIN buck USING (vec_id)),
+      sim AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          list_cosine_similarity(q.v, c.v) AS sim0
+        FROM be c JOIN be q
+          ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8)
+      SELECT q_id, c_id, round(sim0, 6) AS sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, c_id)
+          AS rank
+      FROM sim
+      QUALIFY rank <= 5
+      ORDER BY q_id, rank""")),
+
     // Brute-force cosine top-k: 8 query vectors (broadcast) against the
     // full corpus; ranked per query by similarity. Similarity is rounded
     // to 6 dp on BOTH sides before ranking so FP summation-order noise

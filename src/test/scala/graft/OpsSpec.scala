@@ -187,6 +187,38 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy match counts == per-id partner counts of the enumerated " +
+      "pair list, incl. duplicated strings") {
+    import graft.ops.FuzzyJoin
+    val rnd = new scala.util.Random(47)
+    // same dense near-pair generator as the join spec; the i%3
+    // replication plants exact-duplicate strings so the intra-group
+    // (g-1) term is exercised, not just the cross-string mass
+    val strs = (0L until 150L).map { i =>
+      val n = rnd.nextInt(6)
+      val s = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString
+      (i, if (i % 3 == 0) "dup" + (i % 6) else s, s"b${rnd.nextInt(2)}")
+    }.toDF("id", "s", "blk")
+    Seq(1, 2).foreach { d =>
+      val pairs = FuzzyJoin.editDistanceJoin(strs, "id", "s", d,
+        Seq("blk"))
+      // every pair row contributes one partner to each side
+      val expected = pairs.select(col("a_id").as("id"))
+        .unionByName(pairs.select(col("b_id").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n"))
+      val exp = strs.select(col("id"))
+        .join(expected, Seq("id"), "left")
+        .select(col("id"), coalesce(col("n"), lit(0L)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = FuzzyJoin.editDistanceMatchCounts(strs, "id", "s", d,
+        Seq("blk"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exp, s"d=$d")
+      assert(got.values.exists(_ > 0))
+    }
+  }
+
   test("quantized brute-force topk matches exact topk on separated " +
       "clusters") {
     val rnd = new scala.util.Random(41)

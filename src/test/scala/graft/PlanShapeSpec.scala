@@ -106,6 +106,7 @@ class PlanShapeSpec extends SparkSpec {
         "output sort is a parallel range sort)"),
       "q104_kmv_distinct" -> ("event-type groups ≪ corpus (sketch " +
         "rows: one per group, each O(k) state)"),
+      "q114_lsh_topk" -> "top-k per query vector (≤ 8×5 rows)",
       "q107_windowed_kmv_rollup" -> ("event-type groups ≪ corpus " +
         "(one rolled-up sketch row per group)"))
     // q58 excluded: building its frame executes the full
