@@ -174,14 +174,21 @@ object FuzzyJoin {
       strCol: String, maxDist: Int, blockCols: Seq[String]): DataFrame = {
     val (members, repPairs) =
       candidateStringPairs(rows, idCol, strCol, maxDist, blockCols)
+    // Checkpointed (the q109 pattern): gcounts feeds both withG joins
+    // and the partners join, withG feeds both union branches — without
+    // materialization each consumer re-runs the whole upstream pipeline
+    // (the variant join included), observed as two full scan trees in
+    // the physical plan.
     val gcounts = members.groupBy(col("__rk"), col(strCol))
       .agg(count(lit(1)).as("g"))
+      .localCheckpoint(false)
     // partner mass flowing to each side of each distinct-string pair
     val withG = repPairs
       .join(gcounts.select(col("__rk").as("__rka"),
         col(strCol).as("a_val"), col("g").as("ga")), Seq("__rka", "a_val"))
       .join(gcounts.select(col("__rk").as("__rkb"),
         col(strCol).as("b_val"), col("g").as("gb")), Seq("__rkb", "b_val"))
+      .localCheckpoint(false)
     val crossMass = withG.select(col("__rka").as("__rk"),
         col("a_val").as(strCol), col("gb").as("add"))
       .unionByName(withG.select(col("__rkb").as("__rk"),
