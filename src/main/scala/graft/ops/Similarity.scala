@@ -104,6 +104,38 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Scala-side replica of [[planeComponent]]: identical md5-hex15 →
+    * [-1, 1) formula and identical IEEE ops, so buckets computed from
+    * these driver-precomputed weights are bit-identical to the dynamic
+    * column form (spec-pinned). */
+  private def planeComponentValue(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane$plane:$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59).toDouble - 1.0
+  }
+
+  /** [[lshBucket]] with the hyperplanes precomputed on the driver and
+    * shipped as array LITERALS — the dynamic form evaluates
+    * `planes × dims` md5 expressions per ROW (512 md5s/row at the
+    * default 8×64: measured 37% of q114's sf10 time), pure waste since
+    * the weights depend only on (plane, dim). `dims` must equal the
+    * vector dimensionality exactly: a shorter literal zip_with-pads
+    * with nulls and NULLs the dot. */
+  def lshBucket(vecCol: org.apache.spark.sql.Column, planes: Int,
+      dims: Int): org.apache.spark.sql.Column = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val bits = (0 until planes).map { p =>
+      val w = array((0 until dims).map(d =>
+        lit(planeComponentValue(p, d))): _*)
+      val dot = aggregate(
+        zip_with(vecCol, w, (x, wc) => x.cast("double") * wc),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
   /** IVF centroids: deterministic seeding (the corpus rows whose id
     * hashes lowest — akin to k-means||'s first round, reproducible
     * with no RNG) followed by `lloydRounds` rounds of Lloyd's
@@ -268,10 +300,15 @@ object Similarity {
     * for a corpus-scan-free plan — at 100 TB each query touches one
     * bucket (~corpus/2^planes rows). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
+      vecCol: String, k: Int, planes: Int = 8, dims: Int = -1): DataFrame = {
+    // dims > 0 takes the precomputed-hyperplane path (bit-identical
+    // buckets, none of the per-row md5 work) — pass it whenever the
+    // embedding dimensionality is known, which at 100 TB it always is.
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      if (dims > 0) lshBucket(c, planes, dims) else lshBucket(c, planes)
+    val cb = corpus.withColumn("bucket", bucketOf(col(vecCol)))
     val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
+      .withColumn("bucket", bucketOf(col("qv")))
     cb.join(broadcast(qb),
         cb("bucket") === qb("bucket") && col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("c_id"),

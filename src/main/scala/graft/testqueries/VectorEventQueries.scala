@@ -78,7 +78,7 @@ object VectorEventQueries {
       (s, d) => {
         val e = embeddings(s, d)
         graft.ops.Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
-            "vec_id", "embedding", k = 5, planes = 8)
+            "vec_id", "embedding", k = 5, planes = 8, dims = 64)
           .select(col("q_id"), col("c_id"),
             round(col("sim"), 6).as("sim"), col("rank"))
           .transform(QueryDef.sorted1(_, col("q_id"), col("rank")))

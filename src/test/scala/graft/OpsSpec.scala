@@ -268,6 +268,24 @@ class OpsSpec extends SparkSpec {
       math.abs(r.getAs[Double]("sim") - 1.0) < 1e-12))
   }
 
+  test("precomputed-hyperplane lsh buckets are bit-identical to the " +
+      "dynamic form") {
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    Seq(4, 8, 12).foreach { planes =>
+      val both = vecs.select(
+        Similarity.lshBucket(col("embedding"), planes).as("dyn"),
+        Similarity.lshBucket(col("embedding"), planes, 64).as("pre"))
+        .collect()
+      assert(both.forall(r => r.getLong(0) == r.getLong(1)),
+        s"planes=$planes")
+      // non-degenerate: more than one bucket realized
+      assert(both.map(_.getLong(0)).distinct.length > 1)
+    }
+  }
+
   test("near-dup groups: transitive closure of candidate pairs") {
     // two components, one needing >1 propagation round (chain 3-2-1,
     // edge listed high-to-low so labels must flow against edge order),

@@ -22,6 +22,12 @@ export GRAFT_CP="$CP"
 
 NEWQ=q113_fuzzy_match_counts,q114_lsh_topk
 
+# GRAFT_R10_SF10_ONLY=1 re-runs just the sf10 compare + tally against an
+# existing /tmp/verify_sf10_r10 dump. Added after a leftover nohup'd
+# round-9 gate from the PREVIOUS session truncated correctness_sf10.txt
+# (its tee has no -a) minutes after this script appended to it — the
+# recovery is git-restore + re-running this slice, never hand-editing.
+if [ "${GRAFT_R10_SF10_ONLY:-0}" != 1 ]; then
 for SF in 0.3 1 3; do
   OUT=/tmp/verify_sf${SF}_r10
   rm -rf "$OUT"
@@ -33,12 +39,15 @@ for SF in 0.3 1 3; do
       python3 tools/compare.py /root/repo/data/sf$SF "$OUT" || true; } \
     | tee correctness_sf${SF}_r10newq.txt
 done
+fi
 
 OUT=/tmp/verify_sf10_r10
-rm -rf "$OUT"
-SPARK_GRAFT_VERIFY_ONLY="q112_salted_join,$NEWQ" SPARK_GRAFT_CPUS=32 \
-  tools/run.sh graft.Verify /root/repo/data/sf10 "$OUT" \
-  > /tmp/verify_sf10_r10.log 2>&1
+if [ "${GRAFT_R10_SF10_ONLY:-0}" != 1 ] || [ ! -f "$OUT/oracle_sql.json" ]; then
+  rm -rf "$OUT"
+  SPARK_GRAFT_VERIFY_ONLY="q112_salted_join,$NEWQ" SPARK_GRAFT_CPUS=32 \
+    tools/run.sh graft.Verify /root/repo/data/sf10 "$OUT" \
+    > /tmp/verify_sf10_r10.log 2>&1
+fi
 { echo "# round-10 additions (q112 on the shipped binary; new q113/q114) $(date -u +%FT%TZ)";
   GRAFT_COMPARE_SUBPROC=1 GRAFT_COMPARE_TIMEOUT_S=1800 \
     python3 tools/compare.py /root/repo/data/sf10 "$OUT" || true; } \
@@ -62,6 +71,7 @@ PY
 
 # Bench points for the two new queries at every committed scale
 # (bench_newq_r10_sf*.json; bench_last.json is per-run scratch).
+if [ "${GRAFT_R10_SF10_ONLY:-0}" != 1 ]; then
 for SF in 0.3 1 3 10; do
   rm -f bench_last.json
   SPARK_GRAFT_BENCH_ONLY="$NEWQ" SPARK_GRAFT_SF_DIR=/root/repo/data/sf$SF \
@@ -74,4 +84,5 @@ for SF in 0.3 1 3 10; do
     exit 1
   fi
 done
+fi
 echo R10_GATE_DONE
