@@ -41,14 +41,19 @@ for SF in 0.3 1 3; do
 done
 fi
 
-OUT=/tmp/verify_sf10_r10
+OUT=${GRAFT_R10_SF10_OUT:-/tmp/verify_sf10_r10}
 if [ "${GRAFT_R10_SF10_ONLY:-0}" != 1 ] || [ ! -f "$OUT/oracle_sql.json" ]; then
   rm -rf "$OUT"
-  SPARK_GRAFT_VERIFY_ONLY="q112_salted_join,$NEWQ" SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_VERIFY_ONLY="${GRAFT_R10_COMPARE_ONLY:-q112_salted_join,$NEWQ}" \
+    SPARK_GRAFT_CPUS=32 \
     tools/run.sh graft.Verify /root/repo/data/sf10 "$OUT" \
     > /tmp/verify_sf10_r10.log 2>&1
 fi
-{ echo "# round-10 additions (q112 on the shipped binary; new q113/q114) $(date -u +%FT%TZ)";
+# GRAFT_R10_COMPARE_ONLY narrows the sf10 compare to named queries (for
+# final-binary reconciliation of a query whose op changed after the full
+# dump ran — the dump for those queries must be refreshed first).
+{ echo "# round-10 additions (q112 on the shipped binary; new q113/q114)${GRAFT_R10_COMPARE_ONLY:+ [only: $GRAFT_R10_COMPARE_ONLY]} $(date -u +%FT%TZ)";
+  GRAFT_COMPARE_ONLY="${GRAFT_R10_COMPARE_ONLY:-}" \
   GRAFT_COMPARE_SUBPROC=1 GRAFT_COMPARE_TIMEOUT_S=1800 \
     python3 tools/compare.py /root/repo/data/sf10 "$OUT" || true; } \
   | tee -a correctness_sf10.txt
