@@ -132,6 +132,29 @@ object Fns {
   def avgDec(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(28,$scale)")).cast("double") / count(c)
 
+  /** Exact fixed-point sum in integer MICRO-UNITS — the fast exact path.
+    * [[sumDec]]'s correctness is unconditional but its DECIMAL(28,_) sum
+    * buffer exceeds 18 digits, so Spark leaves the compact-long Decimal
+    * representation and pays BigDecimal object math per row (measured
+    * 3.6× on the q04 pricing summary, 1.25 s → 0.35 s at sf0.1). This
+    * form rounds each value to `10^scale` units once (recovering the
+    * exact fixed-point input — the same integer micro-unit discipline as
+    * the PageRank recurrence and the log-histogram rank test), sums as
+    * LONG inside whole-stage codegen, and divides once at the end.
+    *
+    * Domain bound (caller's contract, NOT checked at runtime): the
+    * per-group sum must fit 2^63 — at cents scale that is ~1.8e12 rows
+    * of 1e7-cent values per group; a product term like
+    * `price_cents * (100 − disc_cents)` (~1e9/row) bounds it at ~9.2e9
+    * rows per group. Beyond that, use [[sumDec]] — exactness there is
+    * unconditional. Returns the long micro-unit sum; divide by the
+    * micro-unit factor (as the q115 form does) for the double surface.
+    */
+  def sumMicro(c: Column, scale: Int = 2): Column = {
+    val factor = math.pow(10, scale)
+    sum(round(c * factor).cast("long"))
+  }
+
   /** Dot product via an ordered left fold (zip_with + aggregate) over
     * double arrays. Kept as the pure-built-in reference implementation —
     * the hot path is [[graft.plans.VecDotExpr]] (same fold order, one

@@ -130,6 +130,43 @@ object CoreQueries {
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")),
 
+    // q04's fast exact path: the same pricing summary in integer
+    // micro-units (Fns.sumMicro — long-cents sums inside whole-stage
+    // codegen instead of q04's >18-digit DECIMAL buffers, measured
+    // 3.6x; exact while per-group sums fit 2^63, the documented bound —
+    // q04 remains the unconditional-exact form). The oracle replays the
+    // identical round-to-cents + BIGINT-sum arithmetic, so the hash
+    // match proves bit-equality of the fixed-point path across engines;
+    // a parity spec additionally pins q115 == q04 values on the
+    // testdata.
+    QueryDef("q115_pricing_summary_micro",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (Fns.sumMicro(col("l_quantity")) / 100.0).as("sum_qty"),
+          (Fns.sumMicro(col("l_extendedprice")) / 100.0)
+            .as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            / 10000.0).as("sum_disc_price"),
+          (Fns.sumMicro(col("l_quantity")) / 100.0 / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_qty,
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100.0 AS sum_base_price,
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+          (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+          / 10000.0 AS sum_disc_price,
+        CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+          / 100.0 / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
     // A2: ordered, CASE-filtered string_agg (reference arena.py:83-90).
     // NULLIF('') matches DuckDB's NULL result on an all-filtered group.
     QueryDef("q05_string_agg_ordered",

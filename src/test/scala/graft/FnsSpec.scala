@@ -130,4 +130,36 @@ class FnsSpec extends SparkSpec {
       assert(a == b)
     }
   }
+
+  test("sumMicro/100.0 == sumDec on 2dp fixed-point values (property)") {
+    // the fast-exact path must agree with the unconditional-exact path
+    // bit-for-bit on in-domain inputs, permutation included
+    (1 to 5).foreach { _ =>
+      val xs = List.fill(200)(rnd.nextInt(10000000) / 100.0)
+      val dec = xs.toDF("x").agg(Fns.sumDec(col("x"))).collect()
+        .head.getDouble(0)
+      val micro = rnd.shuffle(xs).toDF("x")
+        .agg((Fns.sumMicro(col("x")) / 100.0).as("s")).collect()
+        .head.getDouble(0)
+      assert(micro == dec)
+    }
+  }
+
+  test("q115 micro pricing summary == q04 decimal form, all columns") {
+    val sf = "/root/testdata/sf0.01"
+    def rows(name: String) = graft.testqueries.Registry.all
+      .find(_.name == name).get.run(TestSpark.spark, sf)
+      .orderBy("l_returnflag", "l_linestatus").collect()
+    val a = rows("q04_pricing_summary")
+    val b = rows("q115_pricing_summary_micro")
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getString(0) == y.getString(0) &&
+        x.getString(1) == y.getString(1))
+      // sum_qty, sum_base_price, sum_disc_price, avg_qty — bit-equal
+      (2 to 5).foreach(i =>
+        assert(x.getDouble(i) == y.getDouble(i), s"col $i"))
+      assert(x.getLong(6) == y.getLong(6))
+    }
+  }
 }

@@ -20,7 +20,12 @@ rm -rf "$CP" && mkdir -p "$CP" \
   && cp -a target/scala-2.13/classes/. "$CP/"
 export GRAFT_CP="$CP"
 
-NEWQ=q113_fuzzy_match_counts,q114_lsh_topk
+# Default: the round's first new-query batch; override for later
+# batches (q115 was added after the first full gate run).
+NEWQ=${GRAFT_R10_NEWQ:-q113_fuzzy_match_counts,q114_lsh_topk}
+# Artifact suffix per batch so a later batch never clobbers an earlier
+# batch's committed rows (tee without -a was the round-9 zombie bug).
+TAG=${GRAFT_R10_TAG:-r10newq}
 
 # GRAFT_R10_SF10_ONLY=1 re-runs just the sf10 compare + tally against an
 # existing /tmp/verify_sf10_r10 dump. Added after a leftover nohup'd
@@ -37,14 +42,14 @@ for SF in 0.3 1 3; do
   { echo "# round-10 new-query gate sf$SF $(date -u +%FT%TZ)";
     GRAFT_COMPARE_SUBPROC=1 GRAFT_COMPARE_TIMEOUT_S=1800 \
       python3 tools/compare.py /root/repo/data/sf$SF "$OUT" || true; } \
-    | tee correctness_sf${SF}_r10newq.txt
+    | tee "correctness_sf${SF}_${TAG}.txt"
 done
 fi
 
 OUT=${GRAFT_R10_SF10_OUT:-/tmp/verify_sf10_r10}
 if [ "${GRAFT_R10_SF10_ONLY:-0}" != 1 ] || [ ! -f "$OUT/oracle_sql.json" ]; then
   rm -rf "$OUT"
-  SPARK_GRAFT_VERIFY_ONLY="${GRAFT_R10_COMPARE_ONLY:-q112_salted_join,$NEWQ}" \
+  SPARK_GRAFT_VERIFY_ONLY="${GRAFT_R10_COMPARE_ONLY:-${GRAFT_R10_NEWQ:-q112_salted_join,$NEWQ}}" \
     SPARK_GRAFT_CPUS=32 \
     tools/run.sh graft.Verify /root/repo/data/sf10 "$OUT" \
     > /tmp/verify_sf10_r10.log 2>&1
@@ -81,9 +86,9 @@ for SF in 0.3 1 3 10; do
   rm -f bench_last.json
   SPARK_GRAFT_BENCH_ONLY="$NEWQ" SPARK_GRAFT_SF_DIR=/root/repo/data/sf$SF \
     SPARK_GRAFT_CPUS=32 tools/run.sh graft.Bench \
-    > /tmp/bench_newq_r10_sf$SF.log 2>&1 || true
+    > "/tmp/bench_${TAG}_sf$SF.log" 2>&1 || true
   if [ -s bench_last.json ]; then
-    cp bench_last.json bench_newq_r10_sf$SF.json
+    cp bench_last.json "bench_${TAG}_sf$SF.json"
   else
     echo "FATAL: sf$SF new-query bench produced no bench_last.json" >&2
     exit 1
