@@ -42,7 +42,13 @@ object FuzzyJoin {
     * copies of a string inflate every variant bucket d-fold and every
     * true pair d²-fold. Measured on the 10x-replicated sf1 customer
     * table: 8.1s → per-distinct work identical to sf0.1's, with only
-    * the (irreducible, output-sized) expansion joins growing. */
+    * the (irreducible, output-sized) expansion joins growing.
+    *
+    * NULL-string contract: a NULL string matches nothing (`lev(NULL,·)`
+    * is undefined) — no pair is emitted for it. The variant explode and
+    * every join condition are null-rejecting, so this falls out of the
+    * plan; [[editDistanceMatchCounts]] makes the same contract explicit
+    * by emitting `n_matches = 0` for NULL-string ids. */
   def editDistanceJoin(rows: DataFrame, idCol: String, strCol: String,
       maxDist: Int, blockCols: Seq[String]): DataFrame = {
     val (members, repPairs) =
@@ -169,11 +175,21 @@ object FuzzyJoin {
     * hash collision between distinct groups cannot merge their counts
     * (the same both-hash-and-value discipline as the join). Returns
     * `(id, n_matches)`.
+    *
+    * NULL-string contract: `lev(NULL, ·)` is undefined, so a NULL
+    * string matches nothing — [[editDistanceJoin]] emits no pair for
+    * it (its join conditions are null-rejecting), and this count form
+    * emits the id with `n_matches = 0` explicitly (split off BEFORE
+    * the null-unsafe equi-joins, which would otherwise silently drop
+    * the id and break the rows-out = ids contract).
     */
   def editDistanceMatchCounts(rows: DataFrame, idCol: String,
       strCol: String, maxDist: Int, blockCols: Seq[String]): DataFrame = {
-    val (members, repPairs) =
-      candidateStringPairs(rows, idCol, strCol, maxDist, blockCols)
+    val nullIds = rows.filter(col(strCol).isNull)
+      .select(col(idCol).as("id"), lit(0L).as("n_matches"))
+    val (members, repPairs) = candidateStringPairs(
+      rows.filter(col(strCol).isNotNull), idCol, strCol, maxDist,
+      blockCols)
     // Checkpointed (the q109 pattern): gcounts feeds both withG joins
     // and the partners join, withG feeds both union branches — without
     // materialization each consumer re-runs the whole upstream pipeline
@@ -201,6 +217,7 @@ object FuzzyJoin {
           .as("n_matches"))
     members.join(partners, Seq("__rk", strCol))
       .select(col(idCol).as("id"), col("n_matches"))
+      .unionByName(nullIds)
   }
 
   /** Naive blocked pairwise form: exact within blocks at any `maxDist`,

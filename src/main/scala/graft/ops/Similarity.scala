@@ -13,18 +13,30 @@ import graft.functions.Fns
   */
 object Similarity {
 
-  /** Exact brute-force cosine top-k: broadcast the (small) query set,
-    * scan the corpus once, rank per query. Returns
-    * (q_id, c_id, sim, rank). */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-    corpus.join(broadcast(q), col(idCol) =!= col("q_id"))
-      .select(col("q_id"), col(idCol).as("c_id"),
-        Fns.cosine(col("qv"), col(vecCol)).as("sim"))
+  /** Rank candidates per query on the 6-dp-ROUNDED similarity — the q25
+    * cross-engine replay discipline (round 11, ADVICE r10): ranking on
+    * unrounded sims makes rank parity depend on last-bit FP agreement
+    * between engines; rounding both sides to 6 dp BEFORE the
+    * row_number (with c_id as the deterministic tie-break) removes
+    * that data-dependent assumption. Every top-k path here returns the
+    * rounded sim. Input: (q_id, c_id, sim). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("sim", round(col("sim"), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
       .filter(col("rank") <= k)
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query set,
+    * scan the corpus once, rank per query. Returns
+    * (q_id, c_id, sim, rank); sim rounded to 6 dp before ranking
+    * ([[rankTopK]]). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    rankTopK(corpus.join(broadcast(q), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("c_id"),
+        Fns.cosine(col("qv"), col(vecCol)).as("sim")), k)
   }
 
   /** Symmetric per-vector int8 quantization — the memory-bandwidth
@@ -73,12 +85,9 @@ object Similarity {
     val qc = quantizeInt8(corpus, vecCol)
     val qq = quantizeInt8(queries, vecCol)
       .select(col(idCol).as("q_id"), col("q_vec").as("qqv"))
-    qc.join(broadcast(qq), col(idCol) =!= col("q_id"))
+    rankTopK(qc.join(broadcast(qq), col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("c_id"),
-        quantizedCosine(col("qqv"), col("q_vec")).as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
-      .filter(col("rank") <= k)
+        quantizedCosine(col("qqv"), col("q_vec")).as("sim")), k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -133,7 +142,15 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
-    bits.reduce(_ + _)
+    // Loud runtime guard (ADVICE r10): a dims/vector-length mismatch
+    // would zip_with-pad with nulls, NULL the dot, and degrade every
+    // bucket to the all-zero-bit value — plausible-looking and silent.
+    // The conditional evaluates the bucket only on matching lengths
+    // and fails the job otherwise.
+    when(size(vecCol) === dims, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit("lshBucket: vector length "), size(vecCol).cast("string"),
+        lit(s" != dims $dims"))))
   }
 
   /** IVF centroids: deterministic seeding (the corpus rows whose id
@@ -148,27 +165,44 @@ object Similarity {
     * centroids to the data's actual modes, which is what makes the
     * nProbe/nCells probe fraction hold its recall (measured in
     * `tools/AnnRecall`). Ties break deterministically (higher cosine,
-    * then lower cent_id). Returns (cent_id, cv: array<double>). */
+    * then lower cent_id). Returns (cent_id, cv: array<double>).
+    *
+    * Determinism discipline (round 11, the q116 oracle contract): cell
+    * means are computed as EXACT integer micro-unit sums — each
+    * component is fixed-pointed once (`round(x·10⁷)` as long, the
+    * sumMicro/PageRank discipline), summed associatively, and divided
+    * once — so the centroid doubles are bit-identical regardless of
+    * partitioning, row order, or engine (a plain `avg(double)` is
+    * none of those: FP summation order varies with the shuffle). The
+    * 10⁻⁷ input quantization is far below any recall-relevant signal.
+    */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, lloydRounds: Int = 2): DataFrame = {
     var centroids = corpus
       .withColumn("__h", Fns.portableHash60(col(idCol).cast("string")))
-      .orderBy("__h").limit(nCells)
+      // id tie-break: md5 collisions are ~impossible but the total
+      // order must not depend on one either way
+      .orderBy(col("__h"), col(idCol)).limit(nCells)
       .select(col(idCol).as("cent_id"),
         transform(col(vecCol), _.cast("double")).as("cv"))
       .localCheckpoint(true) // nCells rows; cut lineage per round
     (0 until lloydRounds).foreach { _ =>
       val assigned = assignCells(corpus, centroids, idCol, vecCol)
       // element-wise mean per cell: posexplode → (cell, dim) partial
-      // avg (map-side combine keeps the shuffle at |corpus|·dims slim
-      // rows) → rebuild the vector in dim order
+      // micro-unit sums (map-side combine keeps the shuffle at
+      // |corpus|·dims slim rows) → one terminal division → rebuild the
+      // vector in dim order
       val means = assigned
         .select(col("cell").as("cent_id"),
-          posexplode(transform(col(vecCol), _.cast("double")))
-            .as(Seq("pos", "x")))
-        .groupBy("cent_id", "pos").agg(avg(col("x")).as("m"))
+          posexplode(transform(col(vecCol),
+            x => round(x.cast("double") * 1e7).cast("long")))
+            .as(Seq("pos", "mx")))
+        .groupBy("cent_id", "pos")
+        .agg(sum(col("mx")).as("sm"), count(lit(1)).as("cnt"))
         .groupBy("cent_id")
-        .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+        .agg(collect_list(struct(col("pos"),
+          (col("sm").cast("double") / (col("cnt").cast("double") * 1e7))
+            .as("m"))).as("pm"))
         .select(col("cent_id"),
           transform(array_sort(col("pm")), _.getField("m")).as("cv"))
       centroids = centroids.select(col("cent_id"), col("cv").as("old_cv"))
@@ -184,12 +218,16 @@ object Similarity {
     * corpus scan, argmax cosine via `min_by` over (-sim, cent_id) —
     * partial-aggregates map-side, so the exchange carries one slim row
     * per vector id instead of windowing the corpus×centroid product.
+    * The argmax compares 6-dp-ROUNDED cosines (the [[rankTopK]] replay
+    * discipline: with bit-identical centroids, rounding makes the
+    * assignment independent of last-bit FP evaluation differences;
+    * 6-dp ties break on cent_id deterministically on both engines).
     * Returns the input columns plus `cell`. */
   def assignCells(df: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val scored = df.join(broadcast(centroids))
       .select(col(idCol), col(vecCol), col("cent_id"),
-        Fns.cosine(col(vecCol), col("cv")).as("__sim"))
+        round(Fns.cosine(col(vecCol), col("cv")), 6).as("__sim"))
     scored.groupBy(idCol)
       .agg(
         min_by(col("cent_id"), struct(negate(col("__sim")), col("cent_id")))
@@ -217,18 +255,15 @@ object Similarity {
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .join(broadcast(centroids))
       .select(col("q_id"), col("qv"), col("cent_id").as("cell"),
-        Fns.cosine(col("qv"), col("cv")).as("__sim"))
+        round(Fns.cosine(col("qv"), col("cv")), 6).as("__sim"))
       .withColumn("__rn", row_number().over(Window.partitionBy("q_id")
         .orderBy(desc("__sim"), col("cell"))))
       .filter(col("__rn") <= nProbe)
       .drop("__sim", "__rn")
-    cells.join(broadcast(qcells), Seq("cell"))
+    rankTopK(cells.join(broadcast(qcells), Seq("cell"))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("c_id"),
-        Fns.cosine(col("qv"), col(vecCol)).as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
-      .filter(col("rank") <= k)
+        Fns.cosine(col("qv"), col(vecCol)).as("sim")), k)
   }
 
   /** IVF ANN with ADAPTIVE per-query probing: instead of a fixed
@@ -276,7 +311,7 @@ object Similarity {
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .join(broadcast(centroids))
       .select(col("q_id"), col("qv"), col("cent_id").as("cell"),
-        Fns.cosine(col("qv"), col("cv")).as("__sim"))
+        round(Fns.cosine(col("qv"), col("cv")), 6).as("__sim"))
       .join(broadcast(masses), Seq("cell"), "left")
       .withColumn("__mass", coalesce(col("__mass"), lit(0L)))
       .crossJoin(broadcast(total))
@@ -286,21 +321,35 @@ object Similarity {
       .filter(col("__rn") <= minProbe ||
         col("__before") < col("__total") * coverage)
       .select("q_id", "qv", "cell")
-    cells.join(broadcast(qcells), Seq("cell"))
+    rankTopK(cells.join(broadcast(qcells), Seq("cell"))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("c_id"),
-        Fns.cosine(col("qv"), col(vecCol)).as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
-      .filter(col("rank") <= k)
+        Fns.cosine(col("qv"), col(vecCol)).as("sim")), k)
   }
 
   /** LSH-bucketed ANN top-k: bucket corpus and queries by
     * sign-random-projection, rank within the shared bucket. Trades recall
     * for a corpus-scan-free plan — at 100 TB each query touches one
-    * bucket (~corpus/2^planes rows). */
+    * bucket (~corpus/2^planes rows).
+    *
+    * Query-side join strategy is SIZE-GATED (round 11): an interactive
+    * k-NN query set is tiny and broadcasts (the corpus never shuffles);
+    * but when the "queries" are a full dedup shard, driver-broadcasting
+    * them is exactly the anti-pattern this module exists to avoid — at
+    * or above the session's `autoBroadcastJoinThreshold` (estimated
+    * from the optimized plan's stats, no job run) the bucket equi-join
+    * runs as a shuffle join on the bucket key instead (shuffle_hash:
+    * the bucket join needs no sort, and the query side is the smaller
+    * build side). Plan-asserted in the spec.
+    *
+    * `queryBroadcast` overrides the gate when the caller knows better
+    * than the estimate (size-only stats do not reduce through filters,
+    * so an 8-row slice of a 50 MB table estimates as 50 MB):
+    * `Some(true)` pins the interactive broadcast path, `Some(false)`
+    * pins the shard-scale shuffle path, `None` trusts the stats. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 8, dims: Int = -1): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 8, dims: Int = -1,
+      queryBroadcast: Option[Boolean] = None): DataFrame = {
     // dims > 0 takes the precomputed-hyperplane path (bit-identical
     // buckets, none of the per-row md5 work) — pass it whenever the
     // embedding dimensionality is known, which at 100 TB it always is.
@@ -309,12 +358,87 @@ object Similarity {
     val cb = corpus.withColumn("bucket", bucketOf(col(vecCol)))
     val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .withColumn("bucket", bucketOf(col("qv")))
-    cb.join(broadcast(qb),
+    val qSide = if (queryBroadcast.getOrElse(broadcastable(queries)))
+      broadcast(qb) else qb.hint("shuffle_hash")
+    rankTopK(cb.join(qSide,
         cb("bucket") === qb("bucket") && col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("c_id"),
-        Fns.cosine(col("qv"), col(vecCol)).as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))))
-      .filter(col("rank") <= k)
+        Fns.cosine(col("qv"), col(vecCol)).as("sim")), k)
+  }
+
+  /** Whether a frame's OPTIMIZED-PLAN size estimate fits the session's
+    * autoBroadcastJoinThreshold — the same statistic the planner would
+    * use, read driver-side with no job. A disabled threshold (-1)
+    * means never broadcast. */
+  private def broadcastable(df: DataFrame): Boolean = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    threshold > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+  }
+
+  /** Multi-probe LSH top-k ([[lshTopK]]'s recall lever at EQUAL planes):
+    * each query probes its primary bucket plus the buckets reached by
+    * flipping its lowest-|margin| hyperplane bits, one flip per extra
+    * probe. The margin |dot(q, plane_p)| is how close q sits to plane p
+    * — the planes most likely to put a true near neighbor on the other
+    * side — so probing those buckets first recovers most of
+    * single-probe LSH's lost recall at the same scan fraction
+    * (measured: `ann_recall_r11.txt`; the classic multi-probe LSH
+    * idea, Lv et al. VLDB'07). `probes` = total buckets per query.
+    *
+    * Plan shape: identical to [[lshTopK]] with a probes× query-side
+    * explode — corpus-side cost (one bucket pass, no corpus scan per
+    * query) is unchanged, and candidate sets from distinct buckets are
+    * disjoint (a vector lives in exactly one bucket), so no dedup step
+    * is needed. Probe order is deterministic: margin ties break on the
+    * lower plane index. Same size-gated query-side join as [[lshTopK]].
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int = 8,
+      dims: Int = 64, probes: Int = 4,
+      queryBroadcast: Option[Boolean] = None): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    require(probes >= 1 && probes <= planes + 1,
+      s"probes must be in [1, planes+1], got $probes (planes=$planes)")
+    require(planes <= 50, "plane bit must fit an exact double pow2")
+    val cb = corpus.withColumn("bucket",
+      lshBucket(col(vecCol), planes, dims))
+    // per-plane dots of the QUERY vector (the margins), same driver-
+    // precomputed hyperplane literals as lshBucket
+    def dotsOf(vc: org.apache.spark.sql.Column) =
+      array((0 until planes).map { p =>
+        val w = array((0 until dims).map(d =>
+          lit(planeComponentValue(p, d))): _*)
+        aggregate(zip_with(vc, w, (x, wc) => x.cast("double") * wc),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+    val qb0 = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("__dots", when(size(col("qv")) === dims, dotsOf(col("qv")))
+        .otherwise(raise_error(concat(
+          lit("lshTopKMultiProbe: vector length "),
+          size(col("qv")).cast("string"), lit(s" != dims $dims")))))
+      // primary bucket from the dots (sign bits — identical values to
+      // lshBucket, which recomputes the same IEEE ops)
+      .withColumn("__b0", (0 until planes).map(p =>
+        when(element_at(col("__dots"), p + 1) >= 0, lit(1L << p))
+          .otherwise(0L)).reduce(_ + _))
+      // plane ids by ascending |margin| (struct sort tie-breaks on the
+      // plane id), then one single-bit flip per extra probe
+      .withColumn("__flip", transform(array_sort(
+        transform(sequence(lit(0), lit(planes - 1)), p =>
+          struct(abs(element_at(col("__dots"), p + 1)).as("m"),
+            p.as("p")))), s => s.getField("p")))
+      .withColumn("bucket", explode(concat(array(col("__b0")),
+        transform(slice(col("__flip"), 1, probes - 1), p =>
+          col("__b0").bitwiseXOR(pow(lit(2.0), p).cast("long"))))))
+      .select(col("q_id"), col("qv"), col("bucket"))
+    val qSide = if (queryBroadcast.getOrElse(broadcastable(queries)))
+      broadcast(qb0) else qb0.hint("shuffle_hash")
+    rankTopK(cb.join(qSide,
+        cb("bucket") === qb0("bucket") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("c_id"),
+        Fns.cosine(col("qv"), col(vecCol)).as("sim")), k)
   }
 }

@@ -68,19 +68,21 @@ object VectorEventQueries {
     // deterministic given the fixed md5-derived hyperplanes —
     // Fns.portableHash60's DuckDB mirror replays each plane component
     // exactly, so the oracle rebuilds the SAME buckets, joins within
-    // them, and ranks by in-bucket cosine. Ranking runs on UNROUNDED
-    // sims on both sides (near-equal sims of distinct vectors differ
-    // by ≫ FP-eval noise; bit-identical sims only arise from equal
-    // vectors, where the c_id tie-break decides identically); the
-    // projected sim is rounded to 6 dp for the hash compare, the q25
-    // discipline.
+    // them, and ranks by in-bucket cosine. Ranking runs on 6-dp-ROUNDED
+    // sims on BOTH sides (ADVICE r10: the q25 discipline, now applied
+    // inside Similarity.rankTopK — rank parity no longer depends on
+    // cross-engine last-bit FP agreement; 6-dp ties break on c_id).
+    // queryBroadcast pinned: the caller KNOWS the query set is 8 rows
+    // (size-only stats estimate the filtered slice at the full table's
+    // bytes and would demote to the shard-scale shuffle path at sf3+;
+    // q117 covers that path explicitly).
     QueryDef("q114_lsh_topk",
       (s, d) => {
         val e = embeddings(s, d)
         graft.ops.Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
-            "vec_id", "embedding", k = 5, planes = 8, dims = 64)
-          .select(col("q_id"), col("c_id"),
-            round(col("sim"), 6).as("sim"), col("rank"))
+            "vec_id", "embedding", k = 5, planes = 8, dims = 64,
+            queryBroadcast = Some(true))
+          .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
           .transform(QueryDef.sorted1(_, col("q_id"), col("rank")))
       },
       Some("""WITH e AS (
@@ -101,12 +103,229 @@ object VectorEventQueries {
         FROM e JOIN buck USING (vec_id)),
       sim AS (
         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-          list_cosine_similarity(q.v, c.v) AS sim0
+          round(list_cosine_similarity(q.v, c.v), 6) AS sim
         FROM be c JOIN be q
           ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
         WHERE q.vec_id < 8)
-      SELECT q_id, c_id, round(sim0, 6) AS sim,
-        row_number() OVER (PARTITION BY q_id ORDER BY sim0 DESC, c_id)
+      SELECT q_id, c_id, sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+          AS rank
+      FROM sim
+      QUALIFY rank <= 5
+      ORDER BY q_id, rank""")),
+
+    // IVF ANN under the oracle gate (round 11 — the last spec-only
+    // family, and the engine's own recommended ANN path: adaptive
+    // mass-probing dominates LSH at equal scan fraction,
+    // ann_recall artifacts). Every stage is deterministically
+    // replayable in DuckDB:
+    //   seeds    — the nCells corpus rows with the lowest
+    //              portableHash60(vec_id) (md5 mirror);
+    //   Lloyd ×2 — assignment argmax on 6-dp-ROUNDED cosines
+    //              (cent_id tie-break), cell means as EXACT integer
+    //              micro-unit sums (round(x·1e7) summed as BIGINT, one
+    //              terminal division — bit-identical doubles on both
+    //              engines regardless of summation order);
+    //   probing  — per-query centroid ranking annotated with cell
+    //              masses; minimal prefix covering 25% of corpus mass;
+    //   ranking  — 6-dp-rounded cosine, c_id tie-break (rankTopK).
+    QueryDef("q116_ivf_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.ops.Similarity.ivfTopKAdaptive(e,
+            e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, nCells = 8, coverage = 0.25, minProbe = 1,
+            lloydRounds = 2)
+          .transform(QueryDef.sorted1(_, col("q_id"), col("rank")))
+      },
+      Some("""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      em AS (
+        SELECT vec_id, v,
+          list_transform(v, x -> CAST(round(x * 10000000.0) AS BIGINT))
+            AS mv
+        FROM e),
+      seed AS (
+        SELECT vec_id AS cent_id, v AS cv FROM e
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+          ::BIGINT, vec_id
+        LIMIT 8),
+      a1 AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT em.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY em.vec_id
+              ORDER BY round(list_cosine_similarity(em.v, c.cv), 6)
+                DESC, c.cent_id) AS rn
+          FROM em, seed c) WHERE rn = 1),
+      m1 AS (
+        SELECT a1.cell AS cent_id, t.i AS pos,
+          CAST(SUM(em.mv[t.i + 1]) AS BIGINT) AS sm, COUNT(*) AS cnt
+        FROM a1 JOIN em USING (vec_id), range(0, 64) t(i)
+        GROUP BY 1, 2),
+      c1 AS (
+        SELECT s.cent_id, COALESCE(m.cv, s.cv) AS cv
+        FROM seed s LEFT JOIN (
+          SELECT cent_id, list(CAST(sm AS DOUBLE) /
+            (CAST(cnt AS DOUBLE) * 10000000.0) ORDER BY pos) AS cv
+          FROM m1 GROUP BY cent_id) m USING (cent_id)),
+      a2 AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT em.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY em.vec_id
+              ORDER BY round(list_cosine_similarity(em.v, c.cv), 6)
+                DESC, c.cent_id) AS rn
+          FROM em, c1 c) WHERE rn = 1),
+      m2 AS (
+        SELECT a2.cell AS cent_id, t.i AS pos,
+          CAST(SUM(em.mv[t.i + 1]) AS BIGINT) AS sm, COUNT(*) AS cnt
+        FROM a2 JOIN em USING (vec_id), range(0, 64) t(i)
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT s.cent_id, COALESCE(m.cv, s.cv) AS cv
+        FROM c1 s LEFT JOIN (
+          SELECT cent_id, list(CAST(sm AS DOUBLE) /
+            (CAST(cnt AS DOUBLE) * 10000000.0) ORDER BY pos) AS cv
+          FROM m2 GROUP BY cent_id) m USING (cent_id)),
+      af AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT em.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY em.vec_id
+              ORDER BY round(list_cosine_similarity(em.v, c.cv), 6)
+                DESC, c.cent_id) AS rn
+          FROM em, c2 c) WHERE rn = 1),
+      mass AS (SELECT cell, COUNT(*) AS mass FROM af GROUP BY cell),
+      tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM mass),
+      qs AS (
+        SELECT q.vec_id AS q_id, c.cent_id AS cell,
+          round(list_cosine_similarity(q.v, c.cv), 6) AS csim
+        FROM e q, c2 c WHERE q.vec_id < 8),
+      qp AS (
+        SELECT q_id, cell,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY csim DESC, cell) AS rn,
+          COALESCE(SUM(COALESCE(mass.mass, 0)) OVER (PARTITION BY q_id
+            ORDER BY csim DESC, cell
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS mbefore
+        FROM qs LEFT JOIN mass USING (cell)),
+      probe AS (
+        SELECT q_id, cell FROM qp, tot
+        WHERE rn <= 1 OR mbefore < total * 0.25),
+      cand AS (
+        SELECT p.q_id, a.vec_id AS c_id,
+          round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        FROM probe p
+        JOIN af a ON a.cell = p.cell
+        JOIN e c ON c.vec_id = a.vec_id
+        JOIN e q ON q.vec_id = p.q_id
+        WHERE a.vec_id <> p.q_id)
+      SELECT q_id, c_id, sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+          AS rank
+      FROM cand
+      QUALIFY rank <= 5
+      ORDER BY q_id, rank""")),
+
+    // Shard-scale LSH ANN (round 11): the QUERY side is the whole
+    // corpus — the self-k-NN/dedup shape where driver-broadcasting the
+    // "queries" is exactly wrong. queryBroadcast=Some(false) pins the
+    // shuffle-join plan (no BroadcastExchange at any scale — the spec
+    // asserts the same via the stats gate), so the bucket equi-join
+    // shuffles both slim (id, vec, bucket) streams by bucket.
+    // GateKnobs.embSampleMod (q74's knob, interpolated into BOTH
+    // sides) bounds the in-bucket candidate quadratic at the gate
+    // scales; default 1 = all rows.
+    QueryDef("q117_lsh_ann_shard",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(GateKnobs.embSampleMod))
+            === 0)
+        graft.ops.Similarity.lshTopK(e, e, "vec_id", "embedding",
+            k = 3, planes = 8, dims = 64,
+            queryBroadcast = Some(false))
+          .transform(QueryDef.sortedPMat(_, col("q_id"), col("rank")))
+      },
+      Some(s"""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % ${GateKnobs.embSampleMod} = 0),
+      dots AS (
+        SELECT e.vec_id, t.p,
+          list_sum(list_transform(range(1, len(e.v) + 1),
+            i -> e.v[i] * ((('0x' || substr(md5('plane' || t.p || ':'
+              || (i - 1)), 1, 15))::BIGINT
+              / 576460752303423488.0) - 1.0))) AS dot
+        FROM e, range(0, 8) t(p)),
+      buck AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+            AS bucket
+        FROM dots GROUP BY vec_id),
+      be AS (SELECT e.vec_id, e.v, buck.bucket
+        FROM e JOIN buck USING (vec_id)),
+      sim AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        FROM be c JOIN be q
+          ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+      SELECT q_id, c_id, sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+          AS rank
+      FROM sim
+      QUALIFY rank <= 3
+      ORDER BY q_id, rank""")),
+
+    // Multi-probe LSH (round 11): q114's recall lever — each query
+    // probes its primary bucket plus the buckets across its 3
+    // lowest-|margin| hyperplanes (single-bit flips, margin ties break
+    // on the plane id). The oracle replays the same margins from the
+    // same md5-derived hyperplanes and ranks the flips with a window,
+    // so probe SETS — not just buckets — are verified cross-engine.
+    QueryDef("q118_lsh_multiprobe",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.ops.Similarity.lshTopKMultiProbe(e,
+            e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, planes = 8, dims = 64, probes = 4,
+            queryBroadcast = Some(true))
+          .transform(QueryDef.sorted1(_, col("q_id"), col("rank")))
+      },
+      Some("""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      dots AS (
+        SELECT e.vec_id, t.p,
+          list_sum(list_transform(range(1, len(e.v) + 1),
+            i -> e.v[i] * ((('0x' || substr(md5('plane' || t.p || ':'
+              || (i - 1)), 1, 15))::BIGINT
+              / 576460752303423488.0) - 1.0))) AS dot
+        FROM e, range(0, 8) t(p)),
+      buck AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+            AS bucket
+        FROM dots GROUP BY vec_id),
+      be AS (SELECT e.vec_id, e.v, buck.bucket
+        FROM e JOIN buck USING (vec_id)),
+      qrank AS (
+        SELECT vec_id AS q_id, p,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY abs(dot), p) AS mr
+        FROM dots WHERE vec_id < 8),
+      probes AS (
+        SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 8
+        UNION ALL
+        SELECT r.q_id, xor(b.bucket, CAST(1 << r.p AS BIGINT))
+          AS bucket
+        FROM qrank r JOIN buck b ON b.vec_id = r.q_id
+        WHERE r.mr <= 3),
+      sim AS (
+        SELECT p.q_id, c.vec_id AS c_id,
+          round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        FROM probes p
+        JOIN be c ON c.bucket = p.bucket
+        JOIN e q ON q.vec_id = p.q_id
+        WHERE c.vec_id <> p.q_id)
+      SELECT q_id, c_id, sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
           AS rank
       FROM sim
       QUALIFY rank <= 5

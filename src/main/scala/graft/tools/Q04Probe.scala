@@ -69,8 +69,11 @@ object Q04Probe {
       t("dbl") = run(dblForm) :: t.getOrElse("dbl", Nil)
     }
     t.toSeq.sortBy(_._1).foreach { case (k, xs) =>
-      println(f"Q04_PROBE $k%-6s min=${xs.min}%.3f " +
-        f"med=${xs.sorted.apply(xs.size / 2)}%.3f")
+      val s = xs.sorted
+      // true median for even rep counts (upper-element alone biases up)
+      val med = if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      println(f"Q04_PROBE $k%-6s min=${xs.min}%.3f med=$med%.3f")
     }
     // value parity: cents vs decimal must agree exactly after the
     // terminal double conversion (2dp inputs => both are exact sums)

@@ -286,6 +286,65 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("lshBucket with mismatched dims fails loudly, never a silent " +
+      "all-zero bucket (ADVICE r10)") {
+    val vecs = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      vecs.select(Similarity.lshBucket(col("embedding"), 4, 64))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("lshBucket")),
+      s"expected the guard message, got: $err")
+  }
+
+  test("multi-probe lsh: probes=1 equals lshTopK; extra probes only " +
+      "ADD candidates; probe sets are deterministic") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val queries = vecs.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k larger than any bucket population: the rank cut never drops a
+    // candidate, so the pair sets compare candidate GENERATION exactly
+    val single = pairs(Similarity.lshTopK(vecs, queries, "vec_id",
+      "embedding", k = 1000, planes = 5, dims = 16))
+    val mp1 = pairs(Similarity.lshTopKMultiProbe(vecs, queries,
+      "vec_id", "embedding", k = 1000, planes = 5, dims = 16,
+      probes = 1))
+    assert(mp1 == single)
+    val mp3 = pairs(Similarity.lshTopKMultiProbe(vecs, queries,
+      "vec_id", "embedding", k = 1000, planes = 5, dims = 16,
+      probes = 3))
+    assert(single.subsetOf(mp3))
+    assert(mp3.size > single.size) // the flips reach real neighbors here
+    // determinism: bucket sets (and so pair sets) replay identically
+    val mp3b = pairs(Similarity.lshTopKMultiProbe(vecs, queries,
+      "vec_id", "embedding", k = 1000, planes = 5, dims = 16,
+      probes = 3))
+    assert(mp3 == mp3b)
+    // disjoint-bucket argument: no (q, c) pair may be emitted twice
+    val mpRows = Similarity.lshTopKMultiProbe(vecs, queries, "vec_id",
+      "embedding", k = 1000, planes = 5, dims = 16, probes = 3)
+      .select("q_id", "c_id").collect()
+    assert(mpRows.length == mpRows.distinct.length)
+  }
+
+  test("fuzzy match counts: NULL-string ids come out with 0, never " +
+      "dropped (ADVICE r10)") {
+    val rows = Seq((1L, "alpha"), (2L, "alphb"), (3L, null),
+      (4L, "omega")).toDF("id", "name").withColumn("blk", lit(1))
+    val out = graft.ops.FuzzyJoin.editDistanceMatchCounts(rows, "id",
+      "name", 1, Seq("blk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("near-dup groups: transitive closure of candidate pairs") {
     // two components, one needing >1 propagation round (chain 3-2-1,
     // edge listed high-to-low so labels must flow against edge order),
