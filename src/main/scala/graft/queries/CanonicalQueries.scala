@@ -215,11 +215,17 @@ object CanonicalQueries {
       // of its runs produce that sig — count distinct impls per group
       .withColumn("votes", size(collect_set(col("implementation_id"))
         .over(Window.partitionBy("test_id", "sig"))))
-      .withColumn("consensus_sig", first(col("sig")).over(
-        Window.partitionBy("test_id")
-          .orderBy(desc("votes"), col("sig"))
-          .rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
+      // consensus = min(struct(-votes, sig)) over the test partition:
+      // an UNORDERED whole-partition window whose required sort
+      // (test_id) is a prefix of window 1's (test_id, sig), so its
+      // SortExec elides — same (desc votes, asc sig) tie-break as the
+      // old `first() over (order by ...)` form without its second
+      // full-stream sort (the q50 round-11 A/B; an aggregate+join-back
+      // variant re-executes the signature aggregation twice and loses)
+      .withColumn("consensus_sig",
+        min(struct(negate(col("votes")).as("nv"), col("sig")))
+          .over(Window.partitionBy("test_id"))
+          .getField("sig"))
       .select(col("implementation_id"), col("test_id"),
         (col("sig") === col("consensus_sig")).cast("int").as("agree"))
       // collapse the run dimension first (unlike the q50 lineitem

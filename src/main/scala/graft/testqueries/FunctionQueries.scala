@@ -241,18 +241,24 @@ object FunctionQueries {
           .groupBy("l_suppkey", "l_orderkey")
           .agg(unhex(md5(to_json(Fns.orderedCollect(col("l_linenumber"),
             col("l_returnflag"))))).as("sig"))
-        // votes and consensus as two window passes over the order-
-        // partitioned sig rows — no collect_set materialization, no
-        // explode, no further exchange (r03's collect_set+explode shape
-        // measured ~2x slower end-to-end)
+        // votes and consensus as two window passes, ONE sort (round 11
+        // A/B): window 1 sorts by (l_orderkey, sig); window 2 selects
+        // the consensus as min(struct(-votes, sig)) over the order
+        // partition — an UNORDERED whole-partition aggregate whose
+        // required sort (l_orderkey) is a PREFIX of window 1's, so its
+        // SortExec elides. The old form's `first() over (order by
+        // votes desc, sig)` forced a real second sort of the full sig
+        // stream; struct-min replicates its exact (desc votes, asc
+        // sig) tie-break. An aggregate+join-back variant loses: the
+        // DAG split re-executes the signature aggregation twice
+        // (measured 24.4s vs 14.3s at sf3 — SCALE.md round 11).
         sigs
           .withColumn("votes", count(lit(1)).over(
             Window.partitionBy("l_orderkey", "sig")))
-          .withColumn("consensus_sig", first(col("sig")).over(
-            Window.partitionBy("l_orderkey")
-              .orderBy(desc("votes"), col("sig"))
-              .rowsBetween(Window.unboundedPreceding,
-                Window.unboundedFollowing)))
+          .withColumn("consensus_sig",
+            min(struct(negate(col("votes")).as("nv"), col("sig")))
+              .over(Window.partitionBy("l_orderkey"))
+              .getField("sig"))
           .select(col("l_suppkey").as("implementation"),
             (col("sig") === col("consensus_sig")).cast("int").as("agree"))
           .groupBy("implementation")
