@@ -54,6 +54,20 @@ object AnnRecall {
       println(f"ANN_RECALL lsh planes=$p recall=${recall(ap)}%.3f " +
         f"cost_s=$s%.2f (scans ~1/${1 << p} of corpus)")
     }
+    // Multi-probe (round 11): flipping the lowest-|margin| bits probes
+    // the buckets a true neighbor most likely fell into. The grid
+    // makes EQUAL-SCAN-FRACTION comparisons readable: planes=p+1 with
+    // probes=2 scans the same fraction as planes=p with probes=1, so
+    // any recall delta between those two rows is pure probe-quality.
+    for {p <- Seq(2, 3, 4); probes <- Seq(1, 2, 4)
+        if probes <= p + 1} { // single-bit flips cap probes at planes+1
+      val (ap, s) = pairsTimed(Similarity.lshTopKMultiProbe(e, queries,
+        "vec_id", "embedding", k, planes = p, dims = 64,
+        probes = probes))
+      println(f"ANN_RECALL lsh-multiprobe planes=$p probes=$probes " +
+        f"recall=${recall(ap)}%.3f cost_s=$s%.2f " +
+        f"(scans ~$probes/${1 << p} of corpus)")
+    }
     Seq(1, 2, 4, 8).foreach { np =>
       val (ap, s) = pairsTimed(Similarity.ivfTopK(e, queries, "vec_id",
         "embedding", k, nCells = 8, nProbe = np))
