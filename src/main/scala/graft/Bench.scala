@@ -197,8 +197,12 @@ object Bench {
     // in bench_last.json, which has no length constraint.
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // "queries" here is only the top-5 (the driver's stdout tail is
+    // bounded; a full 115+ map overflowed it three rounds running);
+    // "all_queries" names the git-TRACKED file carrying the complete
+    // per-query map from this same run (VERDICT r10 #8).
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"queries":$top5,"artifact":"bench_last.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_at":"$runAt","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"queries":$top5,"all_queries":"bench_last.json","artifact":"bench_last.json"}"""
     val full = core + sf1Json + "}"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_last.json").toAbsolutePath,

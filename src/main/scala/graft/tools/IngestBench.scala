@@ -151,6 +151,23 @@ object IngestBench {
     println(f"INGEST cells=$nCells obs=$nObs secs=$secs%.2f " +
       f"cells_per_sec=${nCells / secs}%.0f obs_per_sec=${nObs / secs}%.0f" +
       phase.fold("")(p => s" phase=$p"))
+    // Per-round committed artifact (VERDICT r10 #7): the same numbers
+    // the INGEST line prints, as self-describing JSON — reps, basis,
+    // knobs, timestamp — so the 3x-ingest claim is re-measured and
+    // versioned each round instead of living in README prose.
+    sys.env.get("SPARK_GRAFT_INGEST_OUT").foreach { out =>
+      val json =
+        f"""{"metric":"ingest","cells":$nCells,"obs":$nObs,""" +
+        f""""secs_min":$secs%.3f,"reps":$reps,""" +
+        f""""cells_per_sec":${nCells / secs}%.0f,""" +
+        f""""obs_per_sec":${nObs / secs}%.0f,""" +
+        s""""phase":"${phase.getOrElse("full")}",""" +
+        s""""composed":$composed,""" +
+        s""""basis":"sf0.1 lineitem -> 3 cells/row, single-shuffle """ +
+        s"""clustered append","run_at":"${java.time.Instant.now()}"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }
