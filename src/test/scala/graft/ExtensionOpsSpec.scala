@@ -96,6 +96,31 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(axes.subsetOf(Set(0, 1, 2, 3)))
   }
 
+  test("ivf centroids are BIT-identical across partitionings (exact " +
+      "micro-unit means, round 11)") {
+    // a plain avg(double) gives partitioning-dependent summation order
+    // and so last-bit-different centroids; the integer micro-sum form
+    // must produce identical doubles from 1-partition and 13-partition
+    // layouts of the same rows — the property the q116 DuckDB replay
+    // stands on
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 500L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val one = rows.toDF("vec_id", "embedding").coalesce(1)
+    val many = rows.toDF("vec_id", "embedding").repartition(13)
+    def cvs(df: org.apache.spark.sql.DataFrame) = Similarity
+      .ivfCentroids(df, "vec_id", "embedding", 5, lloydRounds = 2)
+      .orderBy("cent_id").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("cv").toVector)
+    val a = cvs(one)
+    val b = cvs(many)
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
+    a.zip(b).foreach { case ((_, va), (_, vb)) =>
+      assert(va == vb, "centroids must be bit-identical, not just close")
+    }
+  }
+
   test("streaming interval join pairs events within the window") {
     val srcDir = tmpDir("ij-src")
     val outDir = tmpDir("ij-out")
