@@ -145,12 +145,16 @@ object Similarity {
     // Loud runtime guard (ADVICE r10): a dims/vector-length mismatch
     // would zip_with-pad with nulls, NULL the dot, and degrade every
     // bucket to the all-zero-bit value — plausible-looking and silent.
-    // The conditional evaluates the bucket only on matching lengths
-    // and fails the job otherwise.
-    when(size(vecCol) === dims, bits.reduce(_ + _))
-      .otherwise(raise_error(concat(
-        lit("lshBucket: vector length "), size(vecCol).cast("string"),
-        lit(s" != dims $dims"))))
+    // ADDITIVE form, not a when() wrap: wrapping the 8-plane fold in a
+    // CASE branch measurably deoptimized it (q114 sf10 1.04 → 1.9 s —
+    // conditional branches are excluded from codegen subexpression
+    // handling, so the fold re-evaluates per reference); the guard
+    // term is a separate cheap expression that raises on mismatch and
+    // adds 0 otherwise.
+    bits.reduce(_ + _) +
+      coalesce(assert_true(size(vecCol) === dims,
+          lit(s"lshBucket: vector length != dims $dims")).cast("long"),
+        lit(0L))
   }
 
   /** IVF centroids: deterministic seeding (the corpus rows whose id
