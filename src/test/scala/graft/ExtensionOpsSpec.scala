@@ -121,6 +121,47 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("annTopK selector: clustered corpus picks IVF, uniform corpus " +
+      "picks the int8 scan, output matches the chosen path (round 12)") {
+    val rnd = new scala.util.Random(19)
+    // clustered: 4 tight, well-separated clusters → they collapse into
+    // few cells, leaving most of the 16 empty → high concentration
+    val centers = Seq(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f))
+    val clustered = (0L until 120L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    // uniform: structureless box noise → all 16 cells near-equal mass
+    val uniform = (0L until 400L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val selC = Similarity.annSelect(clustered, "vec_id", "embedding",
+      nCells = 16)
+    assert(selC.useIvf, s"clustered corpus must pick IVF " +
+      s"(skew=${selC.skew})")
+    assert(selC.skew >= 1.5)
+    val selU = Similarity.annSelect(uniform, "vec_id", "embedding",
+      nCells = 16)
+    assert(!selU.useIvf, s"uniform corpus must pick the int8 scan " +
+      s"(skew=${selU.skew})")
+    assert(selU.skew < 1.5)
+    // the selected output IS the chosen path's output, bit-for-bit
+    val qC = clustered.filter(col("vec_id") < 5)
+    assert(rows(Similarity.annTopK(clustered, qC, "vec_id",
+      "embedding", k = 3, nCells = 16)) ==
+      rows(Similarity.ivfTopKAdaptive(clustered, qC, "vec_id",
+        "embedding", k = 3, nCells = 16)))
+    val qU = uniform.filter(col("vec_id") < 5)
+    assert(rows(Similarity.annTopK(uniform, qU, "vec_id", "embedding",
+      k = 3, nCells = 16)) ==
+      rows(Similarity.bruteForceTopKQuantized(uniform, qU, "vec_id",
+        "embedding", k = 3)))
+  }
+
   test("streaming interval join pairs events within the window") {
     val srcDir = tmpDir("ij-src")
     val outDir = tmpDir("ij-out")

@@ -286,18 +286,57 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("lshBucket with mismatched dims fails loudly, never a silent " +
-      "all-zero bucket (ADVICE r10)") {
-    val vecs = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
-    val err = intercept[Exception] {
-      vecs.select(Similarity.lshBucket(col("embedding"), 4, 64))
-        .collect()
+  test("mismatched dims fails loudly at the entry point via the " +
+      "one-shot pre-flight, never a silent all-zero bucket (ADVICE " +
+      "r10; moved out of the per-row hot path round 12)") {
+    val vecs = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(2f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    Seq(
+      () => Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
+        k = 1, planes = 4, dims = 64),
+      () => Similarity.lshTopKMultiProbe(vecs, vecs, "vec_id",
+        "embedding", k = 1, planes = 4, dims = 64, probes = 2)
+    ).foreach { build =>
+      val err = intercept[IllegalArgumentException](build())
+      assert(err.getMessage.contains("!= dims 64"),
+        s"expected the pre-flight length message, got: $err")
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e =>
-        Option(e.getMessage).toSeq ++ messages(e.getCause))
-    assert(messages(err).exists(_.contains("lshBucket")),
-      s"expected the guard message, got: $err")
+  }
+
+  test("NULL embedding vectors get their own pre-flight message, not " +
+      "a misleading length mismatch (ADVICE r11)") {
+    val vecs = Seq((1L, Array(1f, 2f, 3f)), (2L, null))
+      .toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
+        k = 1, planes = 4, dims = 3)
+    }
+    assert(err.getMessage.contains("NULL"),
+      s"expected the NULL-vector message, got: $err")
+    assert(!err.getMessage.contains("!= dims"))
+  }
+
+  test("salted shard-scale lsh is bit-identical to the unsalted form " +
+      "(round 12: hot-bucket skew medicine)") {
+    val rnd = new scala.util.Random(31)
+    // skew on purpose: half the corpus is one duplicated vector → one
+    // hot bucket; the salted join must still emit the same rows
+    val hot = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val vecs = (0L until 240L).map(i =>
+      (i, if (i % 2 == 0) hot.clone()
+          else Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val plain = rows(Similarity.lshTopK(vecs, vecs, "vec_id",
+      "embedding", k = 3, planes = 4, dims = 16,
+      queryBroadcast = Some(false)))
+    val salted = rows(Similarity.lshTopK(vecs, vecs, "vec_id",
+      "embedding", k = 3, planes = 4, dims = 16,
+      queryBroadcast = Some(false), saltBuckets = 7))
+    assert(salted == plain)
   }
 
   test("multi-probe lsh: probes=1 equals lshTopK; extra probes only " +
@@ -333,6 +372,29 @@ class OpsSpec extends SparkSpec {
       "embedding", k = 1000, planes = 5, dims = 16, probes = 3)
       .select("q_id", "c_id").collect()
     assert(mpRows.length == mpRows.distinct.length)
+    // SECOND RING (round 12): probes may exceed planes+1 — two-bit
+    // flips join the sequence, ordered by summed rounded margin. The
+    // candidate set stays monotone in probes, deterministic, and
+    // duplicate-free (two-bit masks still XOR to distinct buckets).
+    val mp8 = pairs(Similarity.lshTopKMultiProbe(vecs, queries,
+      "vec_id", "embedding", k = 1000, planes = 5, dims = 16,
+      probes = 8))
+    assert(mp3.subsetOf(mp8))
+    assert(mp8.size > mp3.size)
+    val mp8rows = Similarity.lshTopKMultiProbe(vecs, queries, "vec_id",
+      "embedding", k = 1000, planes = 5, dims = 16, probes = 8)
+      .select("q_id", "c_id").collect()
+    assert(mp8rows.length == mp8rows.distinct.length)
+    assert(mp8 == pairs(Similarity.lshTopKMultiProbe(vecs, queries,
+      "vec_id", "embedding", k = 1000, planes = 5, dims = 16,
+      probes = 8)))
+    // exhausting every weight-≤2 perturbation (1 + 5 + 10 = 16) stays
+    // monotone; it covers the Hamming-≤2 ball, not all 2^planes
+    // buckets, so it need not (and does not) equal the exact scan
+    val mpAll = pairs(Similarity.lshTopKMultiProbe(vecs, queries,
+      "vec_id", "embedding", k = 1000, planes = 5, dims = 16,
+      probes = 16))
+    assert(mp8.subsetOf(mpAll))
   }
 
   test("fuzzy match counts: NULL-string ids come out with 0, never " +
