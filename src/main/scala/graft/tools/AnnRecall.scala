@@ -59,14 +59,21 @@ object AnnRecall {
     // makes EQUAL-SCAN-FRACTION comparisons readable: planes=p+1 with
     // probes=2 scans the same fraction as planes=p with probes=1, so
     // any recall delta between those two rows is pure probe-quality.
-    for {p <- Seq(2, 3, 4); probes <- Seq(1, 2, 4)
-        if probes <= p + 1} { // single-bit flips cap probes at planes+1
+    // Round 12 adds the SECOND RING (two-bit flips, Lv et al. order):
+    // probes may exceed planes+1, so recall keeps climbing past the
+    // single-ring plateau at bounded extra scan — and at EQUAL scan
+    // fraction finer planes + more probes beat coarser planes (compare
+    // planes=5/probes=8 vs planes=4/probes=4, both ~1/4 scan; probes>6
+    // at planes=5 is unreachable without the second ring).
+    for {p <- Seq(2, 3, 4, 5); probes <- Seq(1, 2, 4, 6, 8, 12)
+        if probes <= 1 + p + p * (p - 1) / 2} {
       val (ap, s) = pairsTimed(Similarity.lshTopKMultiProbe(e, queries,
         "vec_id", "embedding", k, planes = p, dims = 64,
         probes = probes))
+      val ring2 = if (probes > p + 1) " [2nd ring]" else ""
       println(f"ANN_RECALL lsh-multiprobe planes=$p probes=$probes " +
         f"recall=${recall(ap)}%.3f cost_s=$s%.2f " +
-        f"(scans ~$probes/${1 << p} of corpus)")
+        f"(scans ~$probes/${1 << p} of corpus)$ring2")
     }
     Seq(1, 2, 4, 8).foreach { np =>
       val (ap, s) = pairsTimed(Similarity.ivfTopK(e, queries, "vec_id",
