@@ -111,6 +111,9 @@ class PlanShapeSpec extends SparkSpec {
         "the 1-row corpus-mass total aggregate the adaptive probe " +
         "budget divides by"),
       "q118_lsh_multiprobe" -> "top-k per query vector (≤ 8×5 rows)",
+      "q119_ann_selector" -> ("top-k per query vector (≤ 8×5 rows); " +
+        "annSelect's statistic aggregates run eagerly at construction " +
+        "and never appear in the returned plan"),
       "q107_windowed_kmv_rollup" -> ("event-type groups ≪ corpus " +
         "(one rolled-up sketch row per group)"))
     // bounded single-partition exchanges permitted per allowed query
