@@ -321,7 +321,7 @@ object Similarity {
   private def ivfAdaptiveFrom(cells: DataFrame, centroids: DataFrame,
       masses: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, coverage: Double,
-      minProbe: Int): DataFrame = {
+      minProbe: Int, quantizedScan: Boolean = false): DataFrame = {
     require(coverage > 0.0 && coverage <= 1.0 && minProbe >= 1)
     val total = masses.agg(sum("__mass").as("__total"))
     // per-query centroid ranking, annotated with each cell's mass and
@@ -329,10 +329,21 @@ object Similarity {
     // (the cell that crosses the target is included)
     val w = Window.partitionBy("q_id")
       .orderBy(desc("__sim"), col("cell"))
-    val qcells = queries
-      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    // quantizedScan: the PROBE SELECTION (query × centroid cosines)
+    // runs on the FLOAT vectors either way — centroids are nCells tiny
+    // rows, and the probed-cell set must not move with the scan
+    // representation (spec-pinned: identical probe prefixes) — only
+    // the candidate SCAN runs on int8 vectors (1 byte/dim streamed
+    // instead of 4; scales cancel in the cosine, integer sums exact).
+    val qbase0 = queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("qv"))
+    val qbase = if (quantizedScan)
+      quantizeInt8(qbase0, "qv")
+        .select(col("q_id"), col("qv"), col("q_vec").as("__qqv"))
+      else qbase0.withColumn("__qqv", col("qv"))
+    val qcells = qbase
       .join(broadcast(centroids))
-      .select(col("q_id"), col("qv"), col("cent_id").as("cell"),
+      .select(col("q_id"), col("__qqv"), col("cent_id").as("cell"),
         round(Fns.cosine(col("qv"), col("cv")), 6).as("__sim"))
       .join(broadcast(masses), Seq("cell"), "left")
       .withColumn("__mass", coalesce(col("__mass"), lit(0L)))
@@ -342,11 +353,16 @@ object Similarity {
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col("__rn") <= minProbe ||
         col("__before") < col("__total") * coverage)
-      .select("q_id", "qv", "cell")
-    rankTopK(cells.join(broadcast(qcells), Seq("cell"))
+      .select(col("q_id"), col("__qqv").as("qv"), col("cell"))
+    val scanSide = if (quantizedScan)
+      quantizeInt8(cells, vecCol)
+        .select(col(idCol), col("cell"), col("q_vec").as(vecCol))
+      else cells
+    rankTopK(scanSide.join(broadcast(qcells), Seq("cell"))
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("c_id"),
-        Fns.cosine(col("qv"), col(vecCol)).as("sim")), k)
+        (if (quantizedScan) quantizedCosine(col("qv"), col(vecCol))
+         else Fns.cosine(col("qv"), col(vecCol))).as("sim")), k)
   }
 
   /** IVF ANN with ADAPTIVE per-query probing: instead of a fixed
@@ -372,11 +388,21 @@ object Similarity {
     * broadcast; the per-query cell ranking window still runs on
     * queries×centroids. The corpus is scanned once for assignment
     * masses and once for candidates; a standing deployment
-    * materializes the assignment table once and amortizes both. */
+    * materializes the assignment table once and amortizes both.
+    *
+    * `quantizedScan` (round 12) combines the two scale levers: the
+    * candidate scan streams int8 vectors (1 byte/dim, the
+    * [[quantizeInt8]] bandwidth path) while probing stays sublinear —
+    * at 100 TB that is the configuration you would actually run.
+    * Probe SELECTION runs on the float vectors either way, so the
+    * probed-cell prefix is IDENTICAL to the float form (spec-pinned);
+    * only candidate similarities move, by int8 rounding only (exact
+    * integer sums — engine-independent, q59 discipline). Measured
+    * recall vs the float scan: `ann_recall_r12.txt`. */
   def ivfTopKAdaptive(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nCells: Int = 16,
       coverage: Double = 0.25, minProbe: Int = 1,
-      lloydRounds: Int = 2): DataFrame = {
+      lloydRounds: Int = 2, quantizedScan: Boolean = false): DataFrame = {
     val centroids =
       ivfCentroids(corpus, idCol, vecCol, nCells, lloydRounds)
         .localCheckpoint(true) // reused by both assignments below
@@ -384,7 +410,7 @@ object Similarity {
     val masses = cells.groupBy("cell").agg(count(lit(1)).as("__mass"))
       .localCheckpoint(true) // nCells rows; avoids a 3rd corpus scan
     ivfAdaptiveFrom(cells, centroids, masses, queries, idCol, vecCol,
-      k, coverage, minProbe)
+      k, coverage, minProbe, quantizedScan)
   }
 
   /** The IVF machinery [[annTopK]] decides over: centroids, the
@@ -476,12 +502,13 @@ object Similarity {
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, coverage: Double = 0.25,
       minProbe: Int = 1, lloydRounds: Int = 2,
-      skewThreshold: Double = 1.5): DataFrame = {
+      skewThreshold: Double = 1.5,
+      quantizedScan: Boolean = false): DataFrame = {
     val sel = annSelect(corpus, idCol, vecCol, nCells, lloydRounds,
       skewThreshold)
     if (sel.useIvf)
       ivfAdaptiveFrom(sel.cells, sel.centroids, sel.masses, queries,
-        idCol, vecCol, k, coverage, minProbe)
+        idCol, vecCol, k, coverage, minProbe, quantizedScan)
     else bruteForceTopKQuantized(corpus, queries, idCol, vecCol, k)
   }
 

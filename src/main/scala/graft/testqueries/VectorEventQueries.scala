@@ -487,6 +487,118 @@ object VectorEventQueries {
       WHERE rank <= 5 AND NOT (SELECT use_ivf FROM ch)
       ORDER BY q_id, rank""")),
 
+    // Quantized-scan IVF ANN (round 12): the 100 TB configuration —
+    // sublinear mass-covering probing (q116) with the candidate scan on
+    // int8 vectors (1 byte/dim, q59's quantization; scales cancel in
+    // the cosine and every integer sum is exact, so the quantized sims
+    // are engine-independent). Probe SELECTION runs on the float
+    // vectors, so the probed-cell prefix is IDENTICAL to q116's — the
+    // oracle replays q116's full seed → Lloyd×2 → mass-coverage-probe
+    // chain and only the final candidate similarity switches to the
+    // quantized form.
+    QueryDef("q120_ivf_topk_quantized",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.ops.Similarity.ivfTopKAdaptive(e,
+            e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, nCells = 8, coverage = 0.25, minProbe = 1,
+            lloydRounds = 2, quantizedScan = true)
+          .transform(QueryDef.sorted1(_, col("q_id"), col("rank")))
+      },
+      Some("""WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      em AS (
+        SELECT vec_id, v,
+          list_transform(v, x -> CAST(round(x * 10000000.0) AS BIGINT))
+            AS mv
+        FROM e),
+      seed AS (
+        SELECT vec_id AS cent_id, v AS cv FROM e
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+          ::BIGINT, vec_id
+        LIMIT 8),
+      a1 AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT em.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY em.vec_id
+              ORDER BY round(list_cosine_similarity(em.v, c.cv), 6)
+                DESC, c.cent_id) AS rn
+          FROM em, seed c) WHERE rn = 1),
+      m1 AS (
+        SELECT a1.cell AS cent_id, t.i AS pos,
+          CAST(SUM(em.mv[t.i + 1]) AS BIGINT) AS sm, COUNT(*) AS cnt
+        FROM a1 JOIN em USING (vec_id), range(0, 64) t(i)
+        GROUP BY 1, 2),
+      c1 AS (
+        SELECT s.cent_id, COALESCE(m.cv, s.cv) AS cv
+        FROM seed s LEFT JOIN (
+          SELECT cent_id, list(CAST(sm AS DOUBLE) /
+            (CAST(cnt AS DOUBLE) * 10000000.0) ORDER BY pos) AS cv
+          FROM m1 GROUP BY cent_id) m USING (cent_id)),
+      a2 AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT em.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY em.vec_id
+              ORDER BY round(list_cosine_similarity(em.v, c.cv), 6)
+                DESC, c.cent_id) AS rn
+          FROM em, c1 c) WHERE rn = 1),
+      m2 AS (
+        SELECT a2.cell AS cent_id, t.i AS pos,
+          CAST(SUM(em.mv[t.i + 1]) AS BIGINT) AS sm, COUNT(*) AS cnt
+        FROM a2 JOIN em USING (vec_id), range(0, 64) t(i)
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT s.cent_id, COALESCE(m.cv, s.cv) AS cv
+        FROM c1 s LEFT JOIN (
+          SELECT cent_id, list(CAST(sm AS DOUBLE) /
+            (CAST(cnt AS DOUBLE) * 10000000.0) ORDER BY pos) AS cv
+          FROM m2 GROUP BY cent_id) m USING (cent_id)),
+      af AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT em.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY em.vec_id
+              ORDER BY round(list_cosine_similarity(em.v, c.cv), 6)
+                DESC, c.cent_id) AS rn
+          FROM em, c2 c) WHERE rn = 1),
+      mass AS (SELECT cell, COUNT(*) AS mass FROM af GROUP BY cell),
+      tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM mass),
+      qs AS (
+        SELECT q.vec_id AS q_id, c.cent_id AS cell,
+          round(list_cosine_similarity(q.v, c.cv), 6) AS csim
+        FROM e q, c2 c WHERE q.vec_id < 8),
+      qp AS (
+        SELECT q_id, cell,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY csim DESC, cell) AS rn,
+          COALESCE(SUM(COALESCE(mass.mass, 0)) OVER (PARTITION BY q_id
+            ORDER BY csim DESC, cell
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS mbefore
+        FROM qs LEFT JOIN mass USING (cell)),
+      probe AS (
+        SELECT q_id, cell FROM qp, tot
+        WHERE rn <= 1 OR mbefore < total * 0.25),
+      qz AS (
+        SELECT vec_id,
+          list_transform(v, x -> round(x /
+            greatest(list_max(list_transform(v, y -> abs(y))) / 127.0,
+              1e-12))) AS qv
+        FROM e),
+      cand AS (
+        SELECT p.q_id, a.vec_id AS c_id,
+          round(list_cosine_similarity(q.qv, c.qv), 6) AS sim
+        FROM probe p
+        JOIN af a ON a.cell = p.cell
+        JOIN qz c ON c.vec_id = a.vec_id
+        JOIN qz q ON q.vec_id = p.q_id
+        WHERE a.vec_id <> p.q_id)
+      SELECT q_id, c_id, sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+          AS rank
+      FROM cand
+      QUALIFY rank <= 5
+      ORDER BY q_id, rank""")),
+
     // Brute-force cosine top-k: 8 query vectors (broadcast) against the
     // full corpus; ranked per query by similarity. Similarity is rounded
     // to 6 dp on BOTH sides before ranking so FP summation-order noise

@@ -159,6 +159,19 @@ object AnnRecall {
     val rq = recall(pairs(Similarity.bruteForceTopKQuantized(e, queries,
       "vec_id", "embedding", k)))
     println(f"ANN_RECALL int8 full-scan recall=$rq%.3f (1 byte/dim)")
+    // Quantized-scan IVF (round 12): the combined configuration —
+    // sublinear mass-covering probe AND 1 byte/dim candidate scan. The
+    // probed prefix is identical to the float form (spec-pinned), so
+    // any recall delta vs ivf10-clustered-adaptive at the same
+    // coverage is pure int8 rounding.
+    for (cov <- Seq(2.0 / 16, 4.0 / 16)) {
+      val r = cRecall(pairs(Similarity.ivfTopKAdaptive(clustered, cq,
+        "vec_id", "embedding", k10, nCells = 16, coverage = cov,
+        lloydRounds = 2, quantizedScan = true)))
+      println(f"ANN_RECALL ivf10-clustered-adaptive-int8 cells=16 " +
+        f"coverage=$cov%.4f recall10=$r%.3f " +
+        f"(scans ~coverage of corpus at 1 byte/dim)")
+    }
     spark.stop()
   }
 }

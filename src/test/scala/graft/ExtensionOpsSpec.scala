@@ -162,6 +162,43 @@ class ExtensionOpsSpec extends SparkSpec {
         "embedding", k = 3)))
   }
 
+  test("quantized-scan IVF: probe prefix identical to the float form, " +
+      "sims perturbed by int8 rounding only, deterministic (round 12)") {
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val queries = corpus.filter(col("vec_id") < 6L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k ≥ corpus size makes the output the whole probed CANDIDATE set,
+    // independent of sim ordering — so set equality proves the probe
+    // prefix did not move with the scan representation
+    val candQ = Similarity.ivfTopKAdaptive(corpus, queries, "vec_id",
+      "embedding", k = 1000, nCells = 4, coverage = 0.25,
+      quantizedScan = true)
+    val candF = Similarity.ivfTopKAdaptive(corpus, queries, "vec_id",
+      "embedding", k = 1000, nCells = 4, coverage = 0.25)
+    assert(pairs(candQ) == pairs(candF),
+      "quantized scan must probe the exact same cell prefix")
+    // per-candidate sims differ only by int8 rounding (8-dim vectors:
+    // well under 0.03 in cosine)
+    val drift = candQ.select(col("q_id"), col("c_id"),
+        col("sim").as("sq"))
+      .join(candF.select(col("q_id"), col("c_id"), col("sim").as("sf")),
+        Seq("q_id", "c_id"))
+      .agg(max(abs(col("sq") - col("sf")))).head().getDouble(0)
+    assert(drift < 0.03, s"int8 sim drift $drift exceeds the bound")
+    // deterministic across runs (quantization is pure column math)
+    val r1 = Similarity.ivfTopKAdaptive(corpus, queries, "vec_id",
+      "embedding", k = 3, nCells = 4, coverage = 0.25,
+      quantizedScan = true).collect().map(_.toSeq).toSeq
+    val r2 = Similarity.ivfTopKAdaptive(corpus, queries, "vec_id",
+      "embedding", k = 3, nCells = 4, coverage = 0.25,
+      quantizedScan = true).collect().map(_.toSeq).toSeq
+    assert(r1 == r2)
+  }
+
   test("streaming interval join pairs events within the window") {
     val srcDir = tmpDir("ij-src")
     val outDir = tmpDir("ij-out")

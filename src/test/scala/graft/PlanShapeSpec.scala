@@ -114,12 +114,16 @@ class PlanShapeSpec extends SparkSpec {
       "q119_ann_selector" -> ("top-k per query vector (≤ 8×5 rows); " +
         "annSelect's statistic aggregates run eagerly at construction " +
         "and never appear in the returned plan"),
+      "q120_ivf_topk_quantized" -> ("top-k per query vector (≤ 8×5 " +
+        "rows) PLUS the 1-row corpus-mass total aggregate (the q116 " +
+        "shape with an int8 candidate scan)"),
       "q107_windowed_kmv_rollup" -> ("event-type groups ≪ corpus " +
         "(one rolled-up sketch row per group)"))
     // bounded single-partition exchanges permitted per allowed query
     // (default 1): q116 carries the mass-total scalar AND the sorted
     // top-k head
-    val allowedCount = Map("q116_ivf_topk" -> 2)
+    val allowedCount = Map("q116_ivf_topk" -> 2,
+      "q120_ivf_topk_quantized" -> 2)
     // q58 excluded: building its frame executes the full
     // write→stream→append loop (side effects, ~seconds); its final
     // query is perProblemStats, which ends in a parallel orderBy.

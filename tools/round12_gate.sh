@@ -6,9 +6,10 @@
 #     q117 additionally exercises the salted-capable shuffle path),
 #     q118 (second-ring multi-probe: the probing sequence now includes
 #     two-bit flips, so probe SETS changed), NEW q119 (recall-aware
-#     annTopK selector, decision replayed in SQL) — APPENDED to the
-#     canonical per-scale artifacts with a whole-file re-tally, the
-#     round-11 discipline.
+#     annTopK selector, decision replayed in SQL) and NEW q120
+#     (quantized-scan IVF: q116's probe chain, int8 candidate scan) —
+#     APPENDED to the canonical per-scale artifacts with a whole-file
+#     re-tally, the round-11 discipline.
 #  2. Five knob-identical full-suite bench points ->
 #     bench_sf{0.1,0.3,1,3,10}.json + scaling_fit_r12.md. Knobs stay at
 #     the gate values (range_window_us=3e7, emb_mod=4) so the matrix is
@@ -33,7 +34,7 @@ rm -rf "$CP" && mkdir -p "$CP" && cp -a target/scala-2.13/classes/. "$CP/"
 export GRAFT_CP="$CP"
 export GRAFT_GATE_EMB_MOD=4
 
-NEWQ=q114_lsh_topk,q117_lsh_ann_shard,q118_lsh_multiprobe,q119_ann_selector
+NEWQ=q114_lsh_topk,q117_lsh_ann_shard,q118_lsh_multiprobe,q119_ann_selector,q120_ivf_topk_quantized
 
 tally () { # artifact
   python3 - "$1" <<'PY' | tee -a "$1"
