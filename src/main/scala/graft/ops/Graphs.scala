@@ -45,29 +45,60 @@ object Graphs {
     * a data-dependent 1/N constant would need identical cross-engine
     * rounding, the same tie-break trap the integer form eliminates.
     * Returns (node, rank) for every node incident to an edge.
+    *
+    * Shape (round 12, guide §2.4/§3.1 — a measured rework): the old
+    * form attached `deg` to every EDGE row with a 2|E|-row self-derived
+    * join before checkpointing, and that build — not the iterations —
+    * was ~85% of q89's wall time (Q89Probe: eWithDeg 4.2 s of the 4.4 s
+    * query; iterations added <0.2 s each). Degrees are a NODE property,
+    * so they now ride with the |V|-row rank table instead: the edge
+    * list checkpoints straight after the symmetrize+distinct, and each
+    * round joins edges ⋈ (ranks ⋈ deg). The rank side is size-gated
+    * (the lshTopK discipline): at or under `broadcastNodeLimit` nodes
+    * it BROADCASTS — the checkpointed edge list then never shuffles or
+    * sorts in any round, and the per-node partial aggregation collapses
+    * map-side before the one |V|-sized exchange — past the gate (or
+    * `broadcastRanks = Some(false)`) it falls back to a shuffle_hash
+    * join on `src` (build side = the |V|-row rank table; no sort of
+    * the edge stream). The default gate (4M nodes ≈ 150-200 MB built)
+    * is executor-memory-bounded, not corpus-bounded: |V| grows far
+    * slower than |E| on real graphs, and a 100 TB edge list with >4M
+    * distinct nodes takes the shuffle path automatically.
     */
   def pageRankUndirected(edges: DataFrame, srcCol: String,
       dstCol: String, iters: Int, dampNum: Long = 85L,
-      dampDen: Long = 100L, checkpointEvery: Int = 4): DataFrame = {
+      dampDen: Long = 100L, checkpointEvery: Int = 4,
+      broadcastRanks: Option[Boolean] = None,
+      broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(iters >= 1, "pageRankUndirected needs at least one iteration")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(dampNum > 0 && dampDen > dampNum,
       "damping must be a rational in (0, 1)")
+    // Symmetrized distinct edge list, materialized once and streamed
+    // by every round — deliberately WITHOUT degrees attached (see
+    // scaladoc: the old 2|E| deg-attach join dominated the query).
     val sym = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .union(edges.select(col(dstCol).cast("string").as("src"),
         col(srcCol).cast("string").as("dst")))
       .distinct()
+      // LAZY checkpoint: the deg aggregation below (materialized by
+      // the gate's count) is the first consumer and caches the blocks
+      // as a side effect — no separate materialization job.
+      .localCheckpoint(false)
+    // Node degrees: |V| rows off the checkpointed edges (map-side
+    // combined), reused by every round's rank side.
     val deg = sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-    // Edge list with the source degree attached, reused every round.
-    val eWithDeg = sym.join(deg.withColumnRenamed("node", "src"), "src")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    val bcast = broadcastRanks.getOrElse(
+      deg.count() <= broadcastNodeLimit) // count over cached blocks
     // teleport = (1 - damping) in micro-units: exact by construction.
     val teleportU = ((dampDen - dampNum) * 1000000L) / dampDen
+    // Initial ranks: a projection of the checkpointed deg table (no
+    // separate materialization needed).
     var ranks = deg.select(col("node"), lit(1000000L).as("rank_u"))
-      .localCheckpoint(true)
     // Checkpoint cadence: an EAGER checkpoint per round is a full
     // materialization + job per iteration — for short chains the
     // un-checkpointed lineage (each round references the previous
@@ -76,8 +107,16 @@ object Graphs {
     // lineage on long runs; integer arithmetic makes replay-vs-
     // materialize semantically indistinguishable.
     for (i <- 1 to iters) {
-      ranks = eWithDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+      // Rank side of the round: (src, rank_u, deg) — |V| rows. Every
+      // rank node is a deg node by construction (round outputs range
+      // over sym's dst values = all nodes), so the inner join loses
+      // nothing.
+      val rd = ranks.join(
+          if (bcast) broadcast(deg) else deg.hint("shuffle_hash"),
+          "node")
+        .select(col("node").as("src"), col("rank_u"), col("deg"))
+      val rSide = if (bcast) broadcast(rd) else rd.hint("shuffle_hash")
+      ranks = sym.join(rSide, "src")
         .groupBy(col("dst").as("node"))
         .agg((lit(teleportU) +
           sum(expr(s"(${dampNum}L * rank_u) div (${dampDen}L * deg)")))

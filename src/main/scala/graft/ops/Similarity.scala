@@ -223,61 +223,148 @@ object Similarity {
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, lloydRounds: Int = 2): DataFrame = {
-    var centroids = corpus
+    // Round 12 (guide §2.4/§8 — decide with small data): centroids are
+    // nCells tiny vectors, so they live on the DRIVER between rounds
+    // instead of as checkpointed frames. Each Lloyd round is then ONE
+    // aggregation job over the corpus — the assignment is a literal
+    // projection ([[cellExpr]]; no broadcast join, no per-id groupBy
+    // shuffle carrying vector payloads) and the element-wise micro-unit
+    // sums partial-aggregate map-side into ≤ nCells·dims slim rows
+    // before one bounded collect (16 cells × 64 dims = 1k rows). The
+    // old shape paid, per round, a corpus-wide broadcast-join + per-id
+    // exchange (vectors riding the shuffle) + two mean exchanges + an
+    // eager checkpoint job; measured on the q116 chain the Lloyd rounds
+    // were ~0.8 s of the 1.97 s query at sf0.1. Arithmetic is
+    // UNCHANGED: same seed ranking, same 6-dp-rounded cosine argmax
+    // (now via [[cellExpr]]'s least-of-structs — identical ordering
+    // semantics to the old min_by), same exact integer micro-unit sums
+    // (shuffle- and engine-order-free), and the driver computes each
+    // mean as `sm.toDouble / (cnt.toDouble * 1e7)` — the identical IEEE
+    // multiply-then-divide the old Spark expression performed — so
+    // centroids stay bit-identical across partitionings AND engines
+    // (ExtensionOpsSpec pins both).
+    val seed = corpus
       .withColumn("__h", Fns.portableHash60(col(idCol).cast("string")))
       // id tie-break: md5 collisions are ~impossible but the total
       // order must not depend on one either way
       .orderBy(col("__h"), col(idCol)).limit(nCells)
       .select(col(idCol).as("cent_id"),
         transform(col(vecCol), _.cast("double")).as("cv"))
-      .localCheckpoint(true) // nCells rows; cut lineage per round
+    val idType = seed.schema("cent_id").dataType
+    var cents: Array[(Any, Array[Double])] = seed.collect().map(r =>
+      (r.get(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
     (0 until lloydRounds).foreach { _ =>
-      val assigned = assignCells(corpus, centroids, idCol, vecCol)
-      // element-wise mean per cell: posexplode → (cell, dim) partial
-      // micro-unit sums (map-side combine keeps the shuffle at
-      // |corpus|·dims slim rows) → one terminal division → rebuild the
-      // vector in dim order
-      val means = assigned
-        .select(col("cell").as("cent_id"),
-          posexplode(transform(col(vecCol),
-            x => round(x.cast("double") * 1e7).cast("long")))
-            .as(Seq("pos", "mx")))
-        .groupBy("cent_id", "pos")
-        .agg(sum(col("mx")).as("sm"), count(lit(1)).as("cnt"))
-        .groupBy("cent_id")
-        .agg(collect_list(struct(col("pos"),
-          (col("sm").cast("double") / (col("cnt").cast("double") * 1e7))
-            .as("m"))).as("pm"))
-        .select(col("cent_id"),
-          transform(array_sort(col("pm")), _.getField("m")).as("cv"))
-      centroids = centroids.select(col("cent_id"), col("cv").as("old_cv"))
-        .join(means, Seq("cent_id"), "left")
-        .select(col("cent_id"),
-          coalesce(col("cv"), col("old_cv")).as("cv"))
-        .localCheckpoint(true)
+      if (cents.nonEmpty) {
+        // nondeterministic barrier column (the embeddingNearDup trick):
+        // without it CollapseProject pulls the assignment kernel up
+        // past the Generate and re-evaluates it once per EXPLODED row
+        // (dims× per vector — measured 4× on this job at sf0.1)
+        val assigned = corpus
+          .select(cellExpr(col(vecCol), cents, idType).as("cell"),
+            col(vecCol))
+          .withColumn("__barrier", monotonically_increasing_id())
+        val sums = assigned
+          .select(col("cell"),
+            posexplode(transform(col(vecCol),
+              x => round(x.cast("double") * 1e7).cast("long")))
+              .as(Seq("pos", "mx")))
+          .groupBy("cell", "pos")
+          .agg(sum(col("mx")).as("sm"), count(lit(1)).as("cnt"))
+          .collect()
+        val byCell = sums.groupBy(_.get(0))
+        cents = cents.map { case (cid, oldCv) =>
+          byCell.get(cid) match {
+            case Some(rows) => // full new mean vector for this cell
+              val cv = new Array[Double](rows.map(_.getInt(1)).max + 1)
+              rows.foreach { r =>
+                cv(r.getInt(1)) =
+                  r.getLong(2).toDouble / (r.getLong(3).toDouble * 1e7)
+              }
+              (cid, cv)
+            case None => (cid, oldCv) // empty cell keeps its centroid
+          }
+        }
+      }
     }
-    centroids
+    val spark = corpus.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cent_id", idType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(cents.map { case (cid, cv) =>
+        org.apache.spark.sql.Row(cid, cv.toSeq) }: _*), schema)
   }
 
-  /** Nearest-centroid assignment: broadcast the centroid set, one
-    * corpus scan, argmax cosine via `min_by` over (-sim, cent_id) —
-    * partial-aggregates map-side, so the exchange carries one slim row
-    * per vector id instead of windowing the corpus×centroid product.
-    * The argmax compares 6-dp-ROUNDED cosines (the [[rankTopK]] replay
-    * discipline: with bit-identical centroids, rounding makes the
-    * assignment independent of last-bit FP evaluation differences;
-    * 6-dp ties break on cent_id deterministically on both engines).
-    * Returns the input columns plus `cell`. */
+  /** Nearest-centroid id for a vector column, from DRIVER-collected
+    * centroid values — the same (6-dp-rounded sim desc, cent_id asc)
+    * argmax the old `min_by` aggregation computed, evaluated row-local
+    * with no join and no exchange. Integral cent ids (every declared
+    * path) take [[graft.plans.NearestCentroidExpr]] — ONE expression
+    * node holding the centroid matrix as plain arrays, because the
+    * composed per-centroid literal form costs ~1 s of driver-side
+    * plan analysis per fresh centroid set (measured; planning, not
+    * execution, dominated the q116 chain). Non-integral ids fall back
+    * to the composed `least`-of-structs form. */
+  private def cellExpr(vec: org.apache.spark.sql.Column,
+      cents: Array[(Any, Array[Double])],
+      idType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    require(cents.nonEmpty, "cellExpr needs at least one centroid")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
+    val integral = idType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integral) {
+      val ids = cents.map(c => c._1.asInstanceOf[Number].longValue())
+      val cvs = cents.map(c => c._2.toIndexedSeq).toSeq
+      val cell = graft.plans.NearestCentroidExpr
+        .cell(vec, ids.toSeq, cvs)
+      if (idType == LongType) cell else cell.cast(idType)
+    } else {
+      val structs = cents.map { case (cid, cv) =>
+        struct(
+          negate(round(Fns.cosine(vec, typedlit(cv.toSeq)), 6)).as("ns"),
+          lit(cid).as("cent_id"))
+      }
+      val best =
+        if (structs.length == 1) structs.head else least(structs: _*)
+      best.getField("cent_id")
+    }
+  }
+
+  /** Nearest-centroid assignment as a PROJECTION (round 12): the
+    * nCells-row centroid frame is collected once and shipped as
+    * literals ([[cellExpr]]), so the corpus is neither joined nor
+    * shuffled — the old form broadcast-joined corpus×centroids and
+    * re-grouped by id, paying a full corpus exchange with the vector
+    * payload riding it. The argmax compares 6-dp-ROUNDED cosines (the
+    * [[rankTopK]] replay discipline: with bit-identical centroids,
+    * rounding makes the assignment independent of last-bit FP
+    * evaluation differences; 6-dp ties break on cent_id
+    * deterministically on both engines — `least` over
+    * struct(-sim, cent_id) is the old min_by ordering verbatim).
+    * Returns (idCol, cell, vecCol), one row per input row (callers
+    * feed unique ids; the old aggregation form collapsed duplicate
+    * ids, which no call site relied on). */
   def assignCells(df: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val scored = df.join(broadcast(centroids))
-      .select(col(idCol), col(vecCol), col("cent_id"),
-        round(Fns.cosine(col(vecCol), col("cv")), 6).as("__sim"))
-    scored.groupBy(idCol)
-      .agg(
-        min_by(col("cent_id"), struct(negate(col("__sim")), col("cent_id")))
-          .as("cell"),
-        first(col(vecCol)).as(vecCol))
+    val cents: Array[(Any, Array[Double])] = centroids.collect().map(r =>
+      (r.get(0), r.getAs[scala.collection.Seq[Double]](1).toArray))
+    if (cents.isEmpty)
+      // old behavior: a cross join with an empty centroid set is empty
+      df.where(lit(false)).select(col(idCol),
+        lit(null).cast(centroids.schema("cent_id").dataType).as("cell"),
+        col(vecCol))
+    else
+      df.select(col(idCol),
+        cellExpr(col(vecCol), cents,
+          centroids.schema("cent_id").dataType).as("cell"),
+        col(vecCol))
   }
 
   /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells
@@ -292,7 +379,7 @@ object Similarity {
       nProbe: Int = 4, lloydRounds: Int = 2): DataFrame = {
     val centroids =
       ivfCentroids(corpus, idCol, vecCol, nCells, lloydRounds)
-        .localCheckpoint(true) // reused by both assignments below
+      // driver-local relation since round 12 — no checkpoint needed
     val cells = assignCells(corpus, centroids, idCol, vecCol)
     // query side: top-nProbe cells per query — the window stays here,
     // where the input is queries×centroids (small by construction)
@@ -405,7 +492,7 @@ object Similarity {
       lloydRounds: Int = 2, quantizedScan: Boolean = false): DataFrame = {
     val centroids =
       ivfCentroids(corpus, idCol, vecCol, nCells, lloydRounds)
-        .localCheckpoint(true) // reused by both assignments below
+      // driver-local relation since round 12 — no checkpoint needed
     val cells = assignCells(corpus, centroids, idCol, vecCol)
     val masses = cells.groupBy("cell").agg(count(lit(1)).as("__mass"))
       .localCheckpoint(true) // nCells rows; avoids a 3rd corpus scan
@@ -457,7 +544,7 @@ object Similarity {
     require(skewThreshold >= 1.0, "threshold below 1 always picks IVF")
     val centroids =
       ivfCentroids(corpus, idCol, vecCol, nCells, lloydRounds)
-        .localCheckpoint(true)
+    // driver-local relation since round 12 — no checkpoint needed
     val cells = assignCells(corpus, centroids, idCol, vecCol)
     val masses = cells.groupBy("cell").agg(count(lit(1)).as("__mass"))
       .localCheckpoint(true)
