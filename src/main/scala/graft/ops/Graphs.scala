@@ -77,15 +77,43 @@ object Graphs {
     // Symmetrized distinct edge list, materialized once and streamed
     // by every round — deliberately WITHOUT degrees attached (see
     // scaladoc: the old 2|E| deg-attach join dominated the query).
-    val sym = edges
-      .select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .union(edges.select(col(dstCol).cast("string").as("src"),
-        col(srcCol).cast("string").as("dst")))
+    // Round 12 (guide §2.3 — shuffle fewer bytes): dedupe on the
+    // CANONICAL (least, greatest) form FIRST — |E| rows through the
+    // distinct exchange instead of the old symmetrize-then-distinct
+    // 2|E| — then emit both directions as a narrow map-side union
+    // (the reverse of a canonical row can never collide with another
+    // canonical row, and self-loops emit once), which is exactly the
+    // old UNION-DISTINCT row set. The checkpoint moves to the small
+    // canonical set; sym stays a cheap narrow projection over its
+    // cached blocks.
+    // keep-orientation predicate: ascending pairs stay, nulls go to
+    // the dst side (NOT `least`/`greatest`, which silently DROP nulls
+    // — the old union-distinct kept (x, NULL) and (NULL, x) as two
+    // rows, and this canonicalization must round-trip to that set).
+    val keep = col("s0") <= col("d0") || col("d0").isNull
+    val canon = edges
+      .select(col(srcCol).cast("string").as("s0"),
+        col(dstCol).cast("string").as("d0"))
+      .select(when(keep, col("s0")).otherwise(col("d0")).as("src"),
+        when(keep, col("d0")).otherwise(col("s0")).as("dst"))
       .distinct()
-      // LAZY checkpoint: the deg aggregation below (materialized by
-      // the gate's count) is the first consumer and caches the blocks
-      // as a side effect — no separate materialization job.
+    // Both directions, minus a duplicate of null-safe self-loops: a
+    // reversed canonical row can never collide with a different
+    // canonical row, so this expansion IS the old 2|E| union-distinct
+    // set without paying the distinct on 2|E| rows. Explode, not a
+    // self-union: two union branches each re-run the post-exchange
+    // distinct aggregation (measured +0.5 s — exchange reuse only
+    // dedupes the map side), while one Generate doubles the rows in
+    // the same stage. The expansion is checkpointed (LAZY: the deg
+    // aggregation below, materialized by the gate's count, is the
+    // first consumer and caches the blocks as a side effect), so each
+    // round streams cached 2|E| blocks rather than re-expanding.
+    val fwd = struct(col("src"), col("dst"))
+    val rev = struct(col("dst").as("src"), col("src").as("dst"))
+    val sym = canon
+      .select(explode(when(col("src") <=> col("dst"), array(fwd))
+        .otherwise(array(fwd, rev))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(false)
     // Node degrees: |V| rows off the checkpointed edges (map-side
     // combined), reused by every round's rank side.
